@@ -1,0 +1,240 @@
+"""FlatIndex — exact k-NN as streaming brute force on the MXU.
+
+This is the default engine.  Design rationale: on TPU the systolic array
+turns exhaustive search into a bandwidth-bound streaming matmul, so for
+index sizes that fit one chip's HBM, *exact* search is both faster than a
+graph walk for batched queries and gives recall 1.0 by construction —
+strictly dominating the reference's hnswlib defaults (recall@10 targets
+in BASELINE.md).  Graph/IVF indexes exist for larger-than-HBM regimes
+(:mod:`embeddinghub_tpu.index.hnsw`, :mod:`embeddinghub_tpu.index.ivf`).
+
+Replaces: reference ``embeddingstore/index.cc`` (hnswlib wrapper).
+Growth policy matches the reference: capacity starts small and doubles
+(``index.h:21``, ``index.cc:29-31``), which on TPU also bounds
+recompilation: shapes only change on doubling.
+
+Storage model:
+  * host side is authoritative: a packed float32 ``[cap, D]`` arena
+    (numpy; the C++ arena in ``native/`` slots in here) — fast point
+    writes, snapshot source of truth;
+  * device side is a lazily-synced copy used by the search kernels;
+    small dirty sets are scatter-updated in place, large ones re-upload.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from embeddinghub_tpu.index.base import Index, as_f32_matrix, next_pow2
+from embeddinghub_tpu.ops import distance as dist_ops
+from embeddinghub_tpu.ops import topk as topk_ops
+
+# Query batches are padded to these sizes so the jitted search kernel only
+# ever sees a few distinct shapes.
+_BATCH_BUCKETS = (1, 8, 64, 256, 1024)
+
+# Rewriting more than this fraction of capacity triggers a full re-upload
+# instead of a scatter.
+_SCATTER_LIMIT = 0.25
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_rows(x, x_sq, valid, rows, vecs, vecs_sq):
+    x = x.at[rows].set(vecs)
+    x_sq = x_sq.at[rows].set(vecs_sq)
+    valid = valid.at[rows].set(True)
+    return x, x_sq, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_invalidate(valid, rows):
+    return valid.at[rows].set(False)
+
+
+class FlatIndex(Index):
+    def __init__(
+        self,
+        dims: int,
+        metric: str = "l2",
+        capacity: int = 128,
+        chunk_target: int = 65536,
+        compute_dtype: str = "float32",
+        device: jax.Device | None = None,
+    ):
+        if metric not in dist_ops.METRICS:
+            raise ValueError(f"unknown metric {metric!r}")
+        self.dims = int(dims)
+        self.metric = metric
+        self.compute_dtype = compute_dtype
+        self._chunk_target = chunk_target
+        self._device = device
+        self._cap = next_pow2(max(capacity, 128), floor=128)
+        # Host-authoritative arena (preprocessed for the metric).
+        self._hx = np.zeros((self._cap, self.dims), dtype=np.float32)
+        self._hvalid = np.zeros((self._cap,), dtype=bool)
+        self._size = 0
+        # Device mirrors, built lazily.
+        self._dx = None
+        self._dx_sq = None
+        self._dvalid = None
+        self._dirty_rows: set[int] = set()
+        self._needs_full_sync = True
+
+    # ------------------------------------------------------------------ write
+
+    def add(self, rows: np.ndarray, vecs: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        vecs = as_f32_matrix(vecs, self.dims)
+        if rows.shape[0] != vecs.shape[0]:
+            raise ValueError("rows / vecs length mismatch")
+        if rows.size == 0:
+            return
+        self._ensure_capacity(int(rows.max()) + 1)
+        vecs = np.asarray(
+            dist_ops.preprocess_vectors(vecs, self.metric), dtype=np.float32
+        )
+        newly = ~self._hvalid[rows]
+        self._size += int(np.count_nonzero(newly))
+        self._hx[rows] = vecs
+        self._hvalid[rows] = True
+        self._mark_dirty(rows)
+
+    def remove(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        rows = rows[(rows >= 0) & (rows < self._cap)]
+        live = self._hvalid[rows]
+        self._size -= int(np.count_nonzero(live))
+        self._hvalid[rows] = False
+        self._mark_dirty(rows)
+
+    def _ensure_capacity(self, need: int) -> None:
+        if need <= self._cap:
+            return
+        new_cap = next_pow2(need, floor=self._cap)
+        grown_x = np.zeros((new_cap, self.dims), dtype=np.float32)
+        grown_x[: self._cap] = self._hx
+        grown_v = np.zeros((new_cap,), dtype=bool)
+        grown_v[: self._cap] = self._hvalid
+        self._hx, self._hvalid, self._cap = grown_x, grown_v, new_cap
+        self._needs_full_sync = True
+
+    def _mark_dirty(self, rows: np.ndarray) -> None:
+        if self._needs_full_sync:
+            return
+        self._dirty_rows.update(int(r) for r in rows)
+        if len(self._dirty_rows) > _SCATTER_LIMIT * self._cap:
+            self._needs_full_sync = True
+            self._dirty_rows.clear()
+
+    # ------------------------------------------------------------------- sync
+
+    def _sync(self) -> None:
+        if self._needs_full_sync or self._dx is None:
+            x = jnp.asarray(self._hx)
+            self._dx = jax.device_put(x, self._device)
+            self._dx_sq = dist_ops.sqnorms(self._dx)
+            self._dvalid = jax.device_put(jnp.asarray(self._hvalid), self._device)
+            self._needs_full_sync = False
+            self._dirty_rows.clear()
+            return
+        if not self._dirty_rows:
+            return
+        rows = np.fromiter(self._dirty_rows, dtype=np.int32)
+        # Pad to a pow2 bucket (repeating the first row) to bound the number
+        # of scatter-kernel shapes XLA must compile.
+        padded = next_pow2(rows.size, floor=8)
+        rows = np.concatenate([rows, np.full(padded - rows.size, rows[0], np.int32)])
+        vecs = self._hx[rows]
+        valid_bits = self._hvalid[rows]
+        self._dx, self._dx_sq, self._dvalid = _scatter_rows(
+            self._dx,
+            self._dx_sq,
+            self._dvalid,
+            jnp.asarray(rows),
+            jnp.asarray(vecs),
+            jnp.asarray(np.einsum("nd,nd->n", vecs, vecs)),
+        )
+        # Scatter marks everything valid; re-invalidate removed rows.
+        if not valid_bits.all():
+            dead = rows[~valid_bits]
+            padded = next_pow2(dead.size, floor=8)
+            dead = np.concatenate(
+                [dead, np.full(padded - dead.size, dead[0], np.int32)]
+            )
+            self._dvalid = _scatter_invalidate(self._dvalid, jnp.asarray(dead))
+        self._dirty_rows.clear()
+
+    # ----------------------------------------------------------------- search
+
+    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        queries = as_f32_matrix(queries, self.dims)
+        b = queries.shape[0]
+        if self._size == 0 or k <= 0:
+            return (
+                np.full((b, max(k, 0)), np.inf, np.float32),
+                np.full((b, max(k, 0)), -1, np.int64),
+            )
+        self._sync()
+        kk = min(next_pow2(k, floor=1), self._cap)
+        pb = _bucket(b)
+        if pb > b:
+            queries = np.concatenate(
+                [queries, np.zeros((pb - b, self.dims), np.float32)]
+            )
+        chunk = min(self._cap, self._chunk_target)
+        d, i = topk_ops.chunked_topk_search(
+            jnp.asarray(queries),
+            self._dx,
+            self._dvalid,
+            self._dx_sq,
+            metric=self.metric,
+            k=kk,
+            chunk=chunk,
+            compute_dtype=self.compute_dtype,
+        )
+        d = np.asarray(d)[:b, :k]
+        i = np.asarray(i)[:b, :k].astype(np.int64)
+        i[~np.isfinite(d)] = -1
+        return d, i
+
+    # ------------------------------------------------------------------ misc
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    @property
+    def capacity(self) -> int:
+        return self._cap
+
+    def vector(self, row: int) -> np.ndarray:
+        """Raw (preprocessed) stored vector for a row; mainly for tests."""
+        return self._hx[row].copy()
+
+    # -------------------------------------------------------------- snapshot
+
+    def state_arrays(self) -> dict[str, np.ndarray]:
+        """Arrays to persist (see store/persistence.py)."""
+        return {"x": self._hx, "valid": self._hvalid}
+
+    @classmethod
+    def from_state(
+        cls, dims: int, metric: str, arrays: dict[str, np.ndarray], **kw
+    ) -> "FlatIndex":
+        idx = cls(dims, metric=metric, capacity=arrays["x"].shape[0], **kw)
+        idx._hx[:] = arrays["x"]
+        idx._hvalid[:] = arrays["valid"]
+        idx._size = int(np.count_nonzero(idx._hvalid))
+        idx._needs_full_sync = True
+        return idx
+
+
+def _bucket(b: int) -> int:
+    for s in _BATCH_BUCKETS:
+        if b <= s:
+            return s
+    return next_pow2(b, floor=_BATCH_BUCKETS[-1])

@@ -1,0 +1,13 @@
+from embeddinghub_tpu.ops.distance import (  # noqa: F401
+    METRICS,
+    pairwise_dist,
+    pairwise_l2,
+    pairwise_ip,
+    pairwise_cosine,
+    preprocess_vectors,
+    sqnorms,
+)
+from embeddinghub_tpu.ops.topk import (  # noqa: F401
+    masked_topk,
+    chunked_topk_search,
+)

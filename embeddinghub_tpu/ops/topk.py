@@ -1,0 +1,128 @@
+"""Fused distance + top-k selection.
+
+The hot loop of the reference is hnswlib's per-query priority-queue graph
+walk (``index.cc:41-51``).  The TPU-native replacement is *batched
+streaming brute force*: the index lives as packed ``[cap, D]`` shards in
+HBM, and a query batch does one pass over the shard, chunk by chunk,
+keeping a running top-k in on-chip memory.  The distance matmul feeds the
+MXU; selection is a masked ``lax.top_k`` merge per chunk, so the full
+``[B, N]`` distance matrix never materializes in HBM.
+
+All shapes are static: ``cap`` (capacity) is padded to a chunk multiple
+and invalid rows are masked with ``+inf`` — no recompilation as the index
+grows until capacity doubles (reference growth policy: ``index.h:21``,
+``index.cc:29-31``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from embeddinghub_tpu.ops import distance as D
+
+INF = jnp.float32(jnp.inf)
+
+
+def masked_topk(
+    dists: jax.Array,
+    valid: jax.Array | None,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Smallest-k of ``dists [B, N]`` over rows where ``valid [N]`` is
+    True.  Returns ``(dist [B, k], idx [B, k])``; masked-out slots come
+    back with ``+inf`` distance."""
+    if valid is not None:
+        dists = jnp.where(valid[None, :], dists, INF)
+    neg, idx = jax.lax.top_k(-dists, k)
+    return -neg, idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "chunk", "compute_dtype"),
+)
+def chunked_topk_search(
+    q: jax.Array,
+    x: jax.Array,
+    valid: jax.Array,
+    x_sq: jax.Array,
+    *,
+    metric: str = "l2",
+    k: int = 10,
+    chunk: int = 65536,
+    compute_dtype: jnp.dtype | str = jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN of ``q [B, D]`` against ``x [cap, D]``.
+
+    ``valid [cap]`` masks live rows; ``x_sq [cap]`` are precomputed row
+    squared norms (only used for l2).  ``cap`` must be a multiple of
+    ``chunk`` (the store pads capacity).  Returns global row indices.
+
+    The scan carries ``(best_d [B, k], best_i [B, k])``; each step fuses
+    one ``[B, chunk]`` distance tile with a merge:
+        top_k(concat([best, chunk_topk], axis=1))
+    XLA keeps the carry in registers/VMEM across steps, so HBM traffic is
+    one read of ``x`` per query batch — the bandwidth floor.
+    """
+    cap, d = x.shape
+    b = q.shape[0]
+    if cap % chunk != 0:
+        raise ValueError(f"capacity {cap} not a multiple of chunk {chunk}")
+    n_chunks = cap // chunk
+
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+
+    qc = q.astype(compute_dtype)
+    # Pre-transpose once so each scan step is a plain [B,D]@[D,chunk].
+    xt = x.T.astype(compute_dtype)  # [D, cap]
+    xt = xt.reshape(d, n_chunks, chunk).transpose(1, 0, 2)  # [n_chunks, D, chunk]
+    x_sq_c = x_sq.reshape(n_chunks, chunk)
+    valid_c = valid.reshape(n_chunks, chunk)
+
+    kk = min(k, chunk)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        xt_c, sq_c, val_c, base = inp
+        dots = D._dot(qc, xt_c, compute_dtype)
+        if metric == "l2":
+            dc = sq_c[None, :] - 2.0 * dots
+        else:  # ip / cosine share 1 - dot; the 1- is rank-neutral but kept
+            dc = 1.0 - dots
+        dc = jnp.where(val_c[None, :], dc, INF)
+        cd, ci = jax.lax.top_k(-dc, kk)
+        cd = -cd
+        ci = ci + base
+        md, mi = _merge_topk(best_d, best_i, cd, ci, k)
+        return (md, mi), None
+
+    init = (
+        jnp.full((b, k), INF, dtype=jnp.float32),
+        jnp.full((b, k), -1, dtype=jnp.int32),
+    )
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (best_d, best_i), _ = jax.lax.scan(step, init, (xt, x_sq_c, valid_c, bases))
+
+    if metric == "l2":
+        # restore the ||q||^2 term dropped for ranking; clamp fp error
+        best_d = jnp.maximum(best_d + D.sqnorms(q)[:, None], 0.0)
+    return best_d, best_i
+
+
+def _merge_topk(
+    d1: jax.Array, i1: jax.Array, d2: jax.Array, i2: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two (dist, idx) candidate sets rowwise into the best k."""
+    dc = jnp.concatenate([d1, d2], axis=1)
+    ic = jnp.concatenate([i1, i2], axis=1)
+    nd, pos = jax.lax.top_k(-dc, k)
+    return -nd, jnp.take_along_axis(ic, pos, axis=1)
+
+
+def merge_topk(d1, i1, d2, i2, k):
+    """Public alias used by the shard-merge path."""
+    return _merge_topk(d1, i1, d2, i2, k)

@@ -1,0 +1,80 @@
+"""Environment-driven configuration.
+
+Mirrors the reference's env-var config style (reference:
+``main/main.go:59-66`` / ``config/config.go``) with typed accessors.
+The engine itself has a single required knob — the listen address — like
+the reference binary (``embeddinghub/embeddingstore/main.cc:8``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _env(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.lower() in ("1", "true", "yes", "on")
+
+
+@dataclasses.dataclass
+class Config:
+    """Process-wide configuration, resolved from environment variables."""
+
+    # Service surface (reference default port: main.cc:8 -> 0.0.0.0:7462)
+    host: str = "0.0.0.0"
+    port: int = 7462
+    data_dir: str = "embedding_store.dat"
+
+    # Engine knobs
+    default_metric: str = "l2"          # "l2" | "cosine" | "ip"
+    compute_dtype: str = "float32"      # matmul input dtype on device
+    query_batch_window_ms: float = 2.0  # server-side batching window
+    max_query_batch: int = 1024
+
+    # Index defaults — hnswlib-equal anchors (reference index.cc:10-15,
+    # pinned hnswlib 21b54fe defaults: M=16, efConstruction=200, ef=10).
+    hnsw_m: int = 16
+    hnsw_ef_construction: int = 200
+    hnsw_ef_search: int = 10
+    initial_capacity: int = 128         # reference index.h:21, doubles on growth
+
+    # Sharding
+    mesh_axis: str = "shard"
+
+    @staticmethod
+    def from_env() -> "Config":
+        return Config(
+            host=_env("EMBEDDINGHUB_HOST", "0.0.0.0"),
+            port=_env_int("EMBEDDINGHUB_PORT", 7462),
+            data_dir=_env("EMBEDDINGHUB_DATA_DIR", "embedding_store.dat"),
+            default_metric=_env("EMBEDDINGHUB_METRIC", "l2"),
+            compute_dtype=_env("EMBEDDINGHUB_COMPUTE_DTYPE", "float32"),
+            query_batch_window_ms=float(_env("EMBEDDINGHUB_BATCH_WINDOW_MS", "2.0")),
+            max_query_batch=_env_int("EMBEDDINGHUB_MAX_BATCH", 1024),
+            hnsw_m=_env_int("EMBEDDINGHUB_HNSW_M", 16),
+            hnsw_ef_construction=_env_int("EMBEDDINGHUB_HNSW_EFC", 200),
+            hnsw_ef_search=_env_int("EMBEDDINGHUB_HNSW_EF", 10),
+            initial_capacity=_env_int("EMBEDDINGHUB_INIT_CAP", 128),
+        )
+
+
+_config: Config | None = None
+
+
+def get_config() -> Config:
+    global _config
+    if _config is None:
+        _config = Config.from_env()
+    return _config

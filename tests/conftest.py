@@ -1,0 +1,24 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (the strategy SURVEY.md §4 prescribes:
+``xla_force_host_platform_device_count`` stands in for a v4-8 slice).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,95 @@
+"""FlatIndex behavior tests.
+
+Mirrors reference ``index_test.cc`` semantics: exactness on tiny vector
+sets, update-in-place on re-add of the same row, k=0, capacity growth.
+"""
+
+import numpy as np
+
+from embeddinghub_tpu.index import FlatIndex
+
+
+def test_exact_small_vectors():
+    idx = FlatIndex(dims=3)
+    idx.add(np.arange(3), np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.float32))
+    d, i = idx.search(np.array([[1, 2, 3]], np.float32), k=3)
+    assert list(i[0]) == [0, 1, 2]
+    np.testing.assert_allclose(d[0], [0.0, 27.0, 108.0], atol=1e-3)
+
+
+def test_update_same_row_replaces():
+    idx = FlatIndex(dims=2)
+    idx.add([0], [[0.0, 0.0]])
+    idx.add([1], [[10.0, 10.0]])
+    # move row 0 far away; nearest to origin becomes row 1
+    idx.add([0], [[100.0, 100.0]])
+    assert idx.size == 2
+    _, i = idx.search(np.array([[9.0, 9.0]], np.float32), k=1)
+    assert i[0, 0] == 1
+
+
+def test_k_zero():
+    idx = FlatIndex(dims=2)
+    idx.add([0], [[1.0, 1.0]])
+    d, i = idx.search(np.array([[0.0, 0.0]], np.float32), k=0)
+    assert d.shape == (1, 0) and i.shape == (1, 0)
+
+
+def test_empty_index_search():
+    idx = FlatIndex(dims=4)
+    d, i = idx.search(np.zeros((2, 4), np.float32), k=3)
+    assert (i == -1).all() and np.isinf(d).all()
+
+
+def test_capacity_doubling(rng):
+    idx = FlatIndex(dims=8, capacity=128)
+    n = 1000
+    vecs = rng.standard_normal((n, 8)).astype(np.float32)
+    idx.add(np.arange(n), vecs)
+    assert idx.capacity >= n and idx.size == n
+    q = vecs[123:124]
+    _, i = idx.search(q, k=1)
+    assert i[0, 0] == 123
+
+
+def test_remove(rng):
+    idx = FlatIndex(dims=4)
+    vecs = rng.standard_normal((10, 4)).astype(np.float32)
+    idx.add(np.arange(10), vecs)
+    idx.remove([3])
+    assert idx.size == 9
+    _, i = idx.search(vecs[3:4], k=10)
+    assert 3 not in i[0]
+
+
+def test_incremental_add_after_search(rng):
+    """Dirty-row scatter path: search, add more, search again."""
+    idx = FlatIndex(dims=4)
+    vecs = rng.standard_normal((20, 4)).astype(np.float32)
+    idx.add(np.arange(10), vecs[:10])
+    idx.search(vecs[:1], k=1)  # force device sync
+    idx.add(np.arange(10, 20), vecs[10:])  # scatter path
+    _, i = idx.search(vecs[15:16], k=1)
+    assert i[0, 0] == 15
+
+
+def test_cosine_metric(rng):
+    idx = FlatIndex(dims=8, metric="cosine")
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    idx.add(np.arange(50), vecs)
+    q = vecs[7:8] * 3.0  # scaled copy: cosine distance 0 to row 7
+    d, i = idx.search(q, k=1)
+    assert i[0, 0] == 7
+    assert d[0, 0] < 1e-4
+
+
+def test_snapshot_roundtrip(rng):
+    idx = FlatIndex(dims=4)
+    vecs = rng.standard_normal((10, 4)).astype(np.float32)
+    idx.add(np.arange(10), vecs)
+    idx.remove([2])
+    state = idx.state_arrays()
+    idx2 = FlatIndex.from_state(4, "l2", state)
+    assert idx2.size == 9
+    _, i = idx2.search(vecs[5:6], k=1)
+    assert i[0, 0] == 5
