@@ -94,9 +94,6 @@ class FlatIndex(Index):
         if rows.size == 0:
             return
         self._ensure_capacity(int(rows.max()) + 1)
-        vecs = np.asarray(
-            dist_ops.preprocess_vectors(vecs, self.metric), dtype=np.float32
-        )
         newly = ~self._hvalid[rows]
         self._size += int(np.count_nonzero(newly))
         self._hx[rows] = vecs
@@ -133,9 +130,12 @@ class FlatIndex(Index):
     # ------------------------------------------------------------------- sync
 
     def _sync(self) -> None:
+        # The host arena keeps *raw* vectors (get() must return exactly what
+        # was set); metric preprocessing (cosine -> unit rows) happens here,
+        # on the way to the device.
         if self._needs_full_sync or self._dx is None:
-            x = jnp.asarray(self._hx)
-            self._dx = jax.device_put(x, self._device)
+            x = jax.device_put(jnp.asarray(self._hx), self._device)
+            self._dx = dist_ops.preprocess_vectors(x, self.metric)
             self._dx_sq = dist_ops.sqnorms(self._dx)
             self._dvalid = jax.device_put(jnp.asarray(self._hvalid), self._device)
             self._needs_full_sync = False
@@ -149,6 +149,9 @@ class FlatIndex(Index):
         padded = next_pow2(rows.size, floor=8)
         rows = np.concatenate([rows, np.full(padded - rows.size, rows[0], np.int32)])
         vecs = self._hx[rows]
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.maximum(norms, 1e-30)
         valid_bits = self._hvalid[rows]
         self._dx, self._dx_sq, self._dvalid = _scatter_rows(
             self._dx,
@@ -212,8 +215,11 @@ class FlatIndex(Index):
         return self._cap
 
     def vector(self, row: int) -> np.ndarray:
-        """Raw (preprocessed) stored vector for a row; mainly for tests."""
+        """The raw stored vector for a row, exactly as it was added."""
         return self._hx[row].copy()
+
+    def vectors(self, rows: np.ndarray) -> np.ndarray:
+        return self._hx[np.asarray(rows, dtype=np.int64)]
 
     # -------------------------------------------------------------- snapshot
 

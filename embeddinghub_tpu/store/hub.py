@@ -1,0 +1,116 @@
+"""EmbeddingHub — the store root.
+
+Rebuild of reference ``embeddingstore/embedding_store.{h,cc}``:
+``load_or_create(path)`` + space registry.  Metadata rows (the
+reference's ``SpaceEntry`` protos in a RocksDB at ``<path>/metadata``,
+``embedding_store.cc:17-44``) become a single json manifest; space data
+lives under ``<path>/<space>/``.
+
+Reference-parity behaviors kept:
+  * ``create_space`` is idempotent when the space is already loaded
+    (``embedding_store.cc:33-36``);
+  * ``delete_space`` drops the registry row and cached object
+    (``embedding_store.cc:64-70``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+from pathlib import Path
+
+from embeddinghub_tpu.store.space import DEFAULT_VERSION, Space
+
+
+class EmbeddingHub:
+    def __init__(self, base_path: str | Path | None = None):
+        self.base_path = Path(base_path) if base_path is not None else None
+        self._spaces: dict[str, Space] = {}
+        self._lock = threading.RLock()
+        if self.base_path is not None:
+            self.base_path.mkdir(parents=True, exist_ok=True)
+            self._load_manifest()
+
+    @classmethod
+    def load_or_create(cls, path: str | Path) -> "EmbeddingHub":
+        return cls(path)
+
+    @classmethod
+    def in_memory(cls) -> "EmbeddingHub":
+        return cls(None)
+
+    # ----------------------------------------------------------------- spaces
+
+    def create_space(
+        self, name: str, dims: int, metric: str = "l2"
+    ) -> Space:
+        """Create a space with its default "initial" version (the server
+        wires dims into the implicit version, ``server.cc:46-48``)."""
+        name = str(name)
+        with self._lock:
+            if name in self._spaces:
+                return self._spaces[name]
+            path = self.base_path / name if self.base_path is not None else None
+            space = Space(name, path)
+            space.create_version(DEFAULT_VERSION, dims, metric)
+            self._spaces[name] = space
+            self._save_manifest()
+            return space
+
+    def get_space(self, name: str) -> Space | None:
+        with self._lock:
+            return self._spaces.get(str(name))
+
+    def delete_space(self, name: str) -> None:
+        name = str(name)
+        with self._lock:
+            self._spaces.pop(name, None)
+            if self.base_path is not None:
+                shutil.rmtree(self.base_path / name, ignore_errors=True)
+            self._save_manifest()
+
+    def spaces(self) -> list[str]:
+        with self._lock:
+            return list(self._spaces)
+
+    def get_version(self, space_name: str, version_name: str = DEFAULT_VERSION):
+        """The server's resolve helper (``server.cc:235-242``)."""
+        space = self.get_space(space_name)
+        if space is None:
+            return None
+        return space.get_version(version_name)
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self) -> None:
+        """Snapshot every space (subsumes + truncates WALs)."""
+        with self._lock:
+            for space in self._spaces.values():
+                space.save()
+            self._save_manifest()
+
+    def _manifest_path(self) -> Path:
+        return self.base_path / "manifest.json"
+
+    def _save_manifest(self) -> None:
+        if self.base_path is None:
+            return
+        manifest = {
+            "spaces": {
+                name: {"path": str(self.base_path / name), "name": name}
+                for name in self._spaces
+            }
+        }
+        tmp = self._manifest_path().with_suffix(".tmp")
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, self._manifest_path())
+
+    def _load_manifest(self) -> None:
+        mp = self._manifest_path()
+        if not mp.exists():
+            return
+        manifest = json.loads(mp.read_text())
+        for name, entry in manifest.get("spaces", {}).items():
+            self._spaces[name] = Space.load(name, entry["path"])

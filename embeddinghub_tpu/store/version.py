@@ -1,0 +1,152 @@
+"""Version — an immutable-able embedding table.
+
+TPU-native rebuild of reference ``embeddingstore/version.{h,cc}``:
+
+  * ``set`` writes the host arena and marks the device shard dirty
+    (``version.cc:47-56`` wrote RocksDB then hnswlib incrementally);
+  * immutability is enforced at set (``version.cc:48``; error type
+    ``version.h:52-67``);
+  * the iterator yields a stable snapshot for Download / index rebuild
+    (``iterator.cc:21-45``'s RocksDB snapshot scan);
+  * nearest-neighbor self-exclusion for keyed queries follows
+    ``server.cc:182-207`` (over-fetch k+1, drop self).
+
+Unlike the reference there is no per-write RocksDB round trip: writes go
+to the packed arena + an append-only WAL, and the ANN "index build" is
+just the arena itself (FlatIndex) or a batched graph build (HNSW).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from embeddinghub_tpu.index.base import Index
+from embeddinghub_tpu.index.flat import FlatIndex
+from embeddinghub_tpu.store import errors
+from embeddinghub_tpu.store.keymap import KeyMap
+
+
+class Version:
+    def __init__(
+        self,
+        space: str,
+        name: str,
+        dims: int,
+        metric: str = "l2",
+        index: Index | None = None,
+        wal=None,
+    ):
+        self.space = space
+        self.name = name
+        self.dims = int(dims)
+        self.metric = metric
+        self.index = index if index is not None else FlatIndex(self.dims, metric)
+        self.keymap = KeyMap()
+        self.immutable = False
+        self._wal = wal
+
+    # ------------------------------------------------------------------ write
+
+    def set(self, key: str, vec) -> None:
+        self.multiset([(key, vec)])
+
+    def multiset(self, pairs: Iterable[tuple[str, "np.ndarray"]]) -> None:
+        if self.immutable:
+            raise errors.ImmutableVersionError(self.space, self.name)
+        keys = []
+        vecs = []
+        for key, vec in pairs:
+            v = np.asarray(vec, dtype=np.float32).ravel()
+            if v.shape[0] != self.dims:
+                raise errors.DimensionMismatchError(self.dims, v.shape[0])
+            keys.append(str(key))
+            vecs.append(v)
+        if not keys:
+            return
+        rows = self.keymap.assign_many(keys)
+        mat = np.stack(vecs)
+        self.index.add(rows, mat)
+        if self._wal is not None:
+            self._wal.append_many(keys, mat)
+
+    def delete(self, key: str) -> None:
+        """Extension beyond the reference surface (it only deletes whole
+        spaces); kept because the index supports invalidation natively."""
+        if self.immutable:
+            raise errors.ImmutableVersionError(self.space, self.name)
+        row = self.keymap.release(str(key))
+        if row is None:
+            raise errors.KeyNotFoundError(self.space, key)
+        self.index.remove(np.asarray([row]))
+        if self._wal is not None:
+            self._wal.append_delete(str(key))
+
+    def make_immutable(self) -> None:
+        self.immutable = True
+        if self._wal is not None:
+            self._wal.append_freeze()
+
+    # ------------------------------------------------------------------- read
+
+    def get(self, key: str) -> np.ndarray:
+        row = self.keymap.row(str(key))
+        if row is None:
+            raise errors.KeyNotFoundError(self.space, str(key))
+        return self.index.vector(row)
+
+    def multiget(self, keys: Iterable[str]) -> list[np.ndarray]:
+        return [self.get(k) for k in keys]
+
+    def __contains__(self, key: str) -> bool:
+        return str(key) in self.keymap
+
+    @property
+    def size(self) -> int:
+        return len(self.keymap)
+
+    def iterator(self) -> Iterator[tuple[str, np.ndarray]]:
+        """Stable snapshot scan (keys fixed at call time)."""
+        items = list(self.keymap.items())
+        for key, row in items:
+            yield key, self.index.vector(row)
+
+    # ---------------------------------------------------------------- nearest
+
+    def nearest(
+        self, num: int, key: str | None = None, vector=None
+    ) -> list[str]:
+        """Reference-parity single query (``server.cc:172-210``)."""
+        has_key = key is not None and key != ""
+        has_vec = vector is not None and len(vector) != 0
+        if has_key and has_vec:
+            raise errors.InvalidArgumentError("Key and embedding cannot both be set")
+        if not has_key and not has_vec:
+            raise errors.InvalidArgumentError("Key or embedding must be set")
+        if has_key:
+            vector = self.get(key)
+            fetch = num + 1
+        else:
+            vector = np.asarray(vector, dtype=np.float32)
+            fetch = num
+        keys = self.nearest_batch(vector[None, :], fetch)[0]
+        if has_key:
+            if str(key) in keys:
+                keys.remove(str(key))
+            elif len(keys) > num:
+                keys.pop()
+        return keys
+
+    def nearest_batch(self, queries: np.ndarray, k: int) -> list[list[str]]:
+        """Batched k-NN returning keys, nearest first.  This is the fused
+        server path: many concurrent RPCs share one device dispatch."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dims:
+            raise errors.DimensionMismatchError(self.dims, queries.shape[-1])
+        _, rows = self.index.search(queries, k)
+        out: list[list[str]] = []
+        for r in rows:
+            keys = self.keymap.keys_for_rows(r[r >= 0])
+            out.append([k for k in keys if k is not None])
+        return out

@@ -1,0 +1,165 @@
+"""Store-layer tests.
+
+Mirrors reference gtest suites ``version_test.cc`` (put/get,
+immutability), ``space_test.cc``, ``embedding_store_test.cc`` and the
+WAL/snapshot persistence model (reference persisted via RocksDB and
+rebuilt indexes from scans, ``version.cc:64-74``).
+"""
+
+import numpy as np
+import pytest
+
+from embeddinghub_tpu.store import (
+    EmbeddingHub,
+    ImmutableVersionError,
+    InvalidArgumentError,
+    KeyNotFoundError,
+    DimensionMismatchError,
+    Version,
+)
+
+
+def test_version_set_get():
+    v = Version("s", "initial", 3)
+    v.set("a", [1, 2, 3])
+    np.testing.assert_array_equal(v.get("a"), [1, 2, 3])
+
+
+def test_version_update_overwrites():
+    v = Version("s", "initial", 2)
+    v.set("a", [1, 1])
+    v.set("a", [2, 2])
+    np.testing.assert_array_equal(v.get("a"), [2, 2])
+    assert v.size == 1
+
+
+def test_version_immutability():
+    v = Version("s", "initial", 2)
+    v.set("a", [1, 1])
+    v.make_immutable()
+    with pytest.raises(ImmutableVersionError):
+        v.set("b", [2, 2])
+    # reads still work
+    np.testing.assert_array_equal(v.get("a"), [1, 1])
+
+
+def test_version_missing_key():
+    v = Version("s", "initial", 2)
+    with pytest.raises(KeyNotFoundError):
+        v.get("nope")
+
+
+def test_version_dim_check():
+    v = Version("s", "initial", 3)
+    with pytest.raises(DimensionMismatchError):
+        v.set("a", [1, 2])
+
+
+def test_nearest_keyed_excludes_self():
+    v = Version("s", "initial", 2)
+    v.multiset([("a", [0, 0]), ("b", [1, 0]), ("c", [5, 5])])
+    assert v.nearest(1, key="a") == ["b"]
+    assert v.nearest(2, key="a") == ["b", "c"]
+
+
+def test_nearest_by_vector_can_return_exact_match():
+    v = Version("s", "initial", 2)
+    v.multiset([("a", [0, 0]), ("b", [1, 0])])
+    assert v.nearest(1, vector=[0.0, 0.0]) == ["a"]
+
+
+def test_nearest_key_xor_vector():
+    v = Version("s", "initial", 2)
+    v.set("a", [0, 0])
+    with pytest.raises(InvalidArgumentError):
+        v.nearest(1, key="a", vector=[0.0, 0.0])
+    with pytest.raises(InvalidArgumentError):
+        v.nearest(1)
+
+
+def test_version_iterator_snapshot():
+    v = Version("s", "initial", 2)
+    v.multiset([("a", [1, 0]), ("b", [0, 1])])
+    got = dict(v.iterator())
+    assert set(got) == {"a", "b"}
+    np.testing.assert_array_equal(got["a"], [1, 0])
+
+
+def test_version_delete():
+    v = Version("s", "initial", 2)
+    v.multiset([("a", [0, 0]), ("b", [9, 9])])
+    v.delete("a")
+    assert "a" not in v
+    with pytest.raises(KeyNotFoundError):
+        v.get("a")
+    assert v.nearest(1, vector=[0.0, 0.0]) == ["b"]
+
+
+def test_hub_space_lifecycle():
+    hub = EmbeddingHub.in_memory()
+    hub.create_space("s1", dims=3)
+    hub.create_space("s2", dims=4)
+    assert set(hub.spaces()) == {"s1", "s2"}
+    # idempotent create returns the same space (embedding_store.cc:33-36)
+    s1 = hub.create_space("s1", dims=3)
+    assert s1 is hub.get_space("s1")
+    hub.delete_space("s1")
+    assert hub.get_space("s1") is None
+    v = hub.get_version("s2")
+    assert v is not None and v.dims == 4
+
+
+def test_hub_multi_space_isolation():
+    hub = EmbeddingHub.in_memory()
+    hub.create_space("a", dims=3)
+    hub.create_space("b", dims=3)
+    hub.get_version("a").set("key", [1, 2, 3])
+    hub.get_version("b").set("key", [3, 2, 1])
+    np.testing.assert_array_equal(hub.get_version("a").get("key"), [1, 2, 3])
+    np.testing.assert_array_equal(hub.get_version("b").get("key"), [3, 2, 1])
+
+
+def test_persistence_wal_recovery(tmp_path):
+    hub = EmbeddingHub.load_or_create(tmp_path / "store")
+    hub.create_space("s", dims=3)
+    v = hub.get_version("s")
+    v.multiset([("a", [1, 2, 3]), ("b", [4, 5, 6])])
+    # no explicit save: recovery must come purely from the WAL
+    hub2 = EmbeddingHub.load_or_create(tmp_path / "store")
+    v2 = hub2.get_version("s")
+    assert v2 is not None
+    np.testing.assert_array_equal(v2.get("a"), [1, 2, 3])
+    np.testing.assert_array_equal(v2.get("b"), [4, 5, 6])
+
+
+def test_persistence_snapshot_and_tail(tmp_path):
+    hub = EmbeddingHub.load_or_create(tmp_path / "store")
+    hub.create_space("s", dims=2)
+    v = hub.get_version("s")
+    v.set("a", [1, 1])
+    hub.save()  # snapshot subsumes WAL
+    v.set("b", [2, 2])  # tail write after snapshot
+    v.make_immutable()
+
+    hub2 = EmbeddingHub.load_or_create(tmp_path / "store")
+    v2 = hub2.get_version("s")
+    np.testing.assert_array_equal(v2.get("a"), [1, 1])
+    np.testing.assert_array_equal(v2.get("b"), [2, 2])
+    assert v2.immutable
+    with pytest.raises(ImmutableVersionError):
+        v2.set("c", [3, 3])
+
+
+def test_persistence_search_after_reload(tmp_path):
+    hub = EmbeddingHub.load_or_create(tmp_path / "store")
+    hub.create_space("s", dims=4)
+    v = hub.get_version("s")
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 4)).astype(np.float32)
+    v.multiset([(f"k{i}", vecs[i]) for i in range(50)])
+    hub.save()
+
+    hub2 = EmbeddingHub.load_or_create(tmp_path / "store")
+    v2 = hub2.get_version("s")
+    assert v2.nearest(1, key="k7") != ["k7"]
+    assert v2.nearest(1, vector=vecs[7]) == ["k7"]
