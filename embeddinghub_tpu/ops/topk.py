@@ -100,9 +100,13 @@ def chunked_topk_search(
         md, mi = _merge_topk(best_d, best_i, cd, ci, k)
         return (md, mi), None
 
+    # The zero anchor ties the carry init's sharding provenance to x, so
+    # this kernel also works inside shard_map (the carry must carry the
+    # same varying manual axes as the scanned operands).
+    anchor = (x[0, 0] * 0.0).astype(jnp.float32)
     init = (
-        jnp.full((b, k), INF, dtype=jnp.float32),
-        jnp.full((b, k), -1, dtype=jnp.int32),
+        jnp.full((b, k), INF, dtype=jnp.float32) + anchor,
+        jnp.full((b, k), -1, dtype=jnp.int32) + anchor.astype(jnp.int32),
     )
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (best_d, best_i), _ = jax.lax.scan(step, init, (xt, x_sq_c, valid_c, bases))

@@ -1,0 +1,2 @@
+from embeddinghub_tpu.parallel.mesh import default_mesh, shard_axis  # noqa: F401
+from embeddinghub_tpu.parallel.sharded_flat import ShardedFlatIndex  # noqa: F401

@@ -1,0 +1,228 @@
+"""ShardedFlatIndex — exact k-NN over a device mesh.
+
+Multi-chip scale-out of :class:`FlatIndex` (SURVEY.md §7 step 5 /
+BASELINE configs 4-5).  Index rows are sharded **round-robin** across
+the mesh's ``shard`` axis: host row ``r`` lives on shard ``r % S`` at
+local position ``r // S``, so sequentially-allocated keys stay balanced
+and batched inserts route to all shards evenly.
+
+Search is SPMD via ``shard_map``:
+
+    per shard:  streaming fused distance+top-k over the local rows
+                (the same chunked kernel as single-chip)
+    merge:      ``lax.all_gather`` of the [B, k] candidates over ICI
+                (tiny: B*k floats+ids), then a replicated top-k merge
+
+The all-gather rides ICI; no host round trips in the hot path.  Writes
+mirror FlatIndex: host-authoritative arena, device shards rebuilt by a
+sharded device_put (scatter fast-path for small dirty sets later).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from embeddinghub_tpu.index.base import Index, as_f32_matrix, next_pow2
+from embeddinghub_tpu.index.flat import _BATCH_BUCKETS, _bucket
+from embeddinghub_tpu.ops import distance as dist_ops
+from embeddinghub_tpu.ops import topk as topk_ops
+from embeddinghub_tpu.parallel.mesh import SHARD_AXIS, default_mesh
+
+
+class ShardedFlatIndex(Index):
+    def __init__(
+        self,
+        dims: int,
+        metric: str = "l2",
+        mesh: Mesh | None = None,
+        capacity: int = 1024,
+        chunk_target: int = 16384,
+        compute_dtype: str = "float32",
+    ):
+        if metric not in dist_ops.METRICS:
+            raise ValueError(f"unknown metric {metric!r}")
+        self.dims = int(dims)
+        self.metric = metric
+        self.compute_dtype = compute_dtype
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self.n_shards = self.mesh.devices.size
+        self._chunk_target = chunk_target
+        # capacity is per-shard rows * n_shards; keep per-shard pow2 >= 128
+        per_shard = next_pow2(-(-max(capacity, 128) // self.n_shards), floor=128)
+        self._cap_local = per_shard
+        self._hx = np.zeros((self.total_capacity, self.dims), dtype=np.float32)
+        self._hvalid = np.zeros((self.total_capacity,), dtype=bool)
+        self._size = 0
+        self._dx = None
+        self._dx_sq = None
+        self._dvalid = None
+        self._dirty = True
+        self._search_fn = None
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def total_capacity(self) -> int:
+        return self._cap_local * self.n_shards
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    # ------------------------------------------------------------------ write
+
+    def add(self, rows: np.ndarray, vecs: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        vecs = as_f32_matrix(vecs, self.dims)
+        if rows.shape[0] != vecs.shape[0]:
+            raise ValueError("rows / vecs length mismatch")
+        if rows.size == 0:
+            return
+        self._ensure_capacity(int(rows.max()) + 1)
+        newly = ~self._hvalid[rows]
+        self._size += int(np.count_nonzero(newly))
+        self._hx[rows] = vecs
+        self._hvalid[rows] = True
+        self._dirty = True
+
+    def remove(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        rows = rows[(rows >= 0) & (rows < self.total_capacity)]
+        self._size -= int(np.count_nonzero(self._hvalid[rows]))
+        self._hvalid[rows] = False
+        self._dirty = True
+
+    def _ensure_capacity(self, need: int) -> None:
+        if need <= self.total_capacity:
+            return
+        new_local = next_pow2(-(-need // self.n_shards), floor=self._cap_local)
+        old_cap = self.total_capacity
+        self._cap_local = new_local
+        grown_x = np.zeros((self.total_capacity, self.dims), dtype=np.float32)
+        grown_x[:old_cap] = self._hx
+        grown_v = np.zeros((self.total_capacity,), dtype=bool)
+        grown_v[:old_cap] = self._hvalid
+        self._hx, self._hvalid = grown_x, grown_v
+        self._dirty = True
+
+    # ------------------------------------------------------------------- sync
+
+    def _shard_major(self, arr: np.ndarray) -> np.ndarray:
+        """Reorder host (round-robin) rows into shard-contiguous order:
+        host row r = local*S + shard  ->  device row shard*capL + local."""
+        s, capl = self.n_shards, self._cap_local
+        if arr.ndim == 2:
+            return np.ascontiguousarray(
+                arr.reshape(capl, s, arr.shape[1]).transpose(1, 0, 2)
+            ).reshape(s * capl, arr.shape[1])
+        return np.ascontiguousarray(arr.reshape(capl, s).T).reshape(s * capl)
+
+    def _sync(self) -> None:
+        if not self._dirty:
+            return
+        x = self._hx
+        if self.metric == "cosine":
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(norms, 1e-30)
+        row_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self._dx = jax.device_put(self._shard_major(x), row_sharding)
+        self._dx_sq = jax.device_put(
+            self._shard_major(np.einsum("nd,nd->n", x, x)), row_sharding
+        )
+        self._dvalid = jax.device_put(self._shard_major(self._hvalid), row_sharding)
+        self._dirty = False
+        self._search_fn = None  # shapes may have changed
+
+    # ----------------------------------------------------------------- search
+
+    def _build_search(self, k: int):
+        mesh = self.mesh
+        metric = self.metric
+        chunk = min(self._cap_local, self._chunk_target)
+        compute_dtype = self.compute_dtype
+        n_shards = self.n_shards
+
+        def local_search(q, x, valid, x_sq):
+            # q replicated [B, D]; x/valid/x_sq are this shard's rows.
+            d, i = topk_ops.chunked_topk_search(
+                q, x, valid, x_sq,
+                metric=metric, k=k, chunk=chunk, compute_dtype=compute_dtype,
+            )
+            # local row p on shard s is host row p * S + s
+            shard = jax.lax.axis_index(SHARD_AXIS)
+            i_host = jnp.where(i >= 0, i * n_shards + shard, -1)
+            # ICI all-gather of per-shard candidates: [S, B, k]
+            dg = jax.lax.all_gather(d, SHARD_AXIS)
+            ig = jax.lax.all_gather(i_host, SHARD_AXIS)
+            b = q.shape[0]
+            dd = jnp.transpose(dg, (1, 0, 2)).reshape(b, n_shards * k)
+            ii = jnp.transpose(ig, (1, 0, 2)).reshape(b, n_shards * k)
+            nd, pos = jax.lax.top_k(-dd, k)
+            return -nd, jnp.take_along_axis(ii, pos, axis=1)
+
+        fn = shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(None, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        queries = as_f32_matrix(queries, self.dims)
+        b = queries.shape[0]
+        if self._size == 0 or k <= 0:
+            return (
+                np.full((b, max(k, 0)), np.inf, np.float32),
+                np.full((b, max(k, 0)), -1, np.int64),
+            )
+        self._sync()
+        kk = min(next_pow2(k, floor=1), self._cap_local)
+        if self._search_fn is None or self._search_k != kk:
+            self._search_fn = self._build_search(kk)
+            self._search_k = kk
+        pb = _bucket(b)
+        if pb > b:
+            queries = np.concatenate(
+                [queries, np.zeros((pb - b, self.dims), np.float32)]
+            )
+        if self.metric == "cosine":
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-30)
+        d, i = self._search_fn(jnp.asarray(queries), self._dx, self._dvalid, self._dx_sq)
+        d = np.asarray(d)[:b, :k]
+        i = np.asarray(i)[:b, :k].astype(np.int64)
+        i[~np.isfinite(d)] = -1
+        return d, i
+
+    # ------------------------------------------------------------------ misc
+
+    def vector(self, row: int) -> np.ndarray:
+        return self._hx[row].copy()
+
+    def vectors(self, rows: np.ndarray) -> np.ndarray:
+        return self._hx[np.asarray(rows, dtype=np.int64)]
+
+    # -------------------------------------------------------------- snapshot
+
+    def state_arrays(self) -> dict[str, np.ndarray]:
+        return {"x": self._hx, "valid": self._hvalid}
+
+    @classmethod
+    def from_state(
+        cls, dims: int, metric: str, arrays: dict[str, np.ndarray], **kw
+    ) -> "ShardedFlatIndex":
+        idx = cls(dims, metric=metric, capacity=arrays["x"].shape[0], **kw)
+        n = arrays["x"].shape[0]
+        idx._hx[:n] = arrays["x"]
+        idx._hvalid[:n] = arrays["valid"]
+        idx._size = int(np.count_nonzero(idx._hvalid))
+        idx._dirty = True
+        return idx

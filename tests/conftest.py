@@ -8,7 +8,13 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU. The image's sitecustomize registers the axon TPU plugin at
+# interpreter startup (importing jax before this file runs) and rewrites
+# jax_platforms, so env vars alone are not enough: override the config
+# directly, and clear the pool var so our test subprocesses skip the
+# plugin entirely.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -16,6 +22,14 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+)
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 import numpy as np
 import pytest

@@ -23,6 +23,7 @@ def server_port(tmp_path_factory):
     port = random.randint(20000, 40000)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize skips axon plugin
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/ehtpu_jax_cache"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     data_dir = str(tmp_path_factory.mktemp("server_store"))
