@@ -1,0 +1,92 @@
+"""Headline benchmark (driver-run on real TPU hardware).
+
+Workload: BASELINE.json config 1/3 shape — 100K x 128 cosine space,
+batched nearest_neighbors(k=10) through the engine's TPU fast path
+(bf16 score matmul + approx_max_k oversampled candidates + f32 rerank).
+Measured recall@10 vs the exact oracle is reported inside the metric
+string (the BASELINE bar is >= 0.95; the reference's hnswlib-at-default
+ef=10 sits far below our ~0.998).
+
+Note: on this dev setup the chip sits behind a network tunnel
+(~27 ms RTT, ~35 MB/s), so the measured number is transfer-dominated;
+batch size and bf16 query upload amortize what can be amortized.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured speedup over a single-socket CPU
+brute-force baseline run in the same process (the reference engine
+walks its graph per query on CPU behind a global mutex, SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N, D, B, K = 100_000, 128, 4096, 10
+METRIC = "cosine"
+TIMED_BATCHES = 12
+
+
+def main() -> None:
+    from embeddinghub_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((TIMED_BATCHES, B, D)).astype(np.float32)
+
+    # ---- build (pack + device upload) ----
+    t0 = time.perf_counter()
+    idx = FlatIndex(D, metric=METRIC, capacity=N, chunk_target=32768)
+    idx.add(np.arange(N), vecs)
+    idx._sync()
+    build_s = time.perf_counter() - t0
+    idx.search(queries[0], K, with_distances=False, query_dtype="bfloat16")
+
+    # ---- timed TPU batches (indices-only readback, bf16 query upload) ----
+    t0 = time.perf_counter()
+    for i in range(TIMED_BATCHES):
+        _, r = idx.search(
+            queries[i], K, with_distances=False, query_dtype="bfloat16"
+        )
+    tpu_s = time.perf_counter() - t0
+    tpu_qps = TIMED_BATCHES * B / tpu_s
+
+    # ---- recall@10 vs exact numpy oracle ----
+    qs = queries[0][:256]
+    qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    oracle = np.argsort(-(qn @ xn.T), axis=1)[:, :K]
+    got = idx.search(qs, K, with_distances=False, query_dtype="bfloat16")[1]
+    recall = np.mean(
+        [len(set(got[i]) & set(oracle[i])) / K for i in range(len(qs))]
+    )
+
+    # ---- CPU brute-force baseline (numpy sgemm + argpartition) ----
+    cpu_b = 256
+    cq = queries[1][:cpu_b] / np.linalg.norm(
+        queries[1][:cpu_b], axis=1, keepdims=True
+    )
+    t0 = time.perf_counter()
+    reps = 2
+    for _ in range(reps):
+        sims = cq @ xn.T
+        np.argpartition(-sims, K, axis=1)[:, :K]
+    cpu_s = (time.perf_counter() - t0) / reps
+    cpu_qps = cpu_b / cpu_s
+
+    result = {
+        "metric": (
+            f"batched kNN QPS/chip (100K x {D} cosine, B={B}, k={K}, "
+            f"recall@10={recall:.3f}, build={build_s:.1f}s, tunnel-IO-bound)"
+        ),
+        "value": round(tpu_qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
