@@ -1,0 +1,512 @@
+"""HNSWIndex — hnswlib-semantic graph index in array form.
+
+Parity anchor for the reference's ANN engine (hnswlib
+``HierarchicalNSW`` behind ``embeddingstore/index.cc:12-15``, pinned
+defaults M=16 / efConstruction=200 / ef=10).  Same algorithmic
+skeleton — geometric level assignment, greedy upper-layer descent,
+ef-bounded best-first search on layer 0, neighbor-selection heuristic
+with reciprocal links — but restructured for TPU:
+
+  * the graph is flat int32 neighbor tables (``[cap, 2M]`` layer 0,
+    compact ``[n_l, M]`` upper layers), not linked lists;
+  * queries run through the batched beam kernel
+    (:mod:`embeddinghub_tpu.ops.beam`) — one device dispatch per layer
+    for a whole query batch;
+  * construction inserts in **waves**: candidate search for a wave of
+    nodes runs batched on device against the pre-wave graph, then link
+    selection + reciprocal pruning commit on the host (SURVEY.md §7's
+    host-coordinated commit step).  Wave inserts don't see their wave
+    siblings at search time; waves are capped to a fraction of the
+    current graph so the quality effect stays negligible.
+
+Use this engine when the per-chip row count is large enough that a full
+scan loses to a graph walk, or for hnswlib-parity recall sweeps; for
+HBM-resident sizes the Flat engines are both faster and exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from embeddinghub_tpu.index.base import Index, as_f32_matrix, next_pow2
+from embeddinghub_tpu.ops import beam as beam_ops
+from embeddinghub_tpu.ops import distance as dist_ops
+
+_BUCKETS = (1, 8, 64, 256, 1024)
+
+
+def _bucket(b: int) -> int:
+    for s in _BUCKETS:
+        if b <= s:
+            return s
+    return next_pow2(b, floor=_BUCKETS[-1])
+
+
+class HNSWIndex(Index):
+    def __init__(
+        self,
+        dims: int,
+        metric: str = "l2",
+        m: int = 16,
+        ef_construction: int = 200,
+        ef_search: int = 10,
+        capacity: int = 1024,
+        expand: int = 8,
+        seed: int = 100,
+    ):
+        if metric not in dist_ops.METRICS:
+            raise ValueError(f"unknown metric {metric!r}")
+        self.dims = int(dims)
+        self.metric = metric
+        self.m = int(m)
+        self.m0 = 2 * self.m
+        self.ef_construction = int(ef_construction)
+        self.ef_search = int(ef_search)
+        self.expand = int(expand)
+        self._mult = 1.0 / math.log(self.m)
+        self._rng = np.random.default_rng(seed)
+
+        self._cap = next_pow2(max(capacity, 128), floor=128)
+        self._hx = np.zeros((self._cap, self.dims), np.float32)   # raw
+        self._hvalid = np.zeros((self._cap,), bool)
+        self._levels = np.full((self._cap,), -1, np.int32)
+        # layer 0 dense; upper layers: {layer: {node: list[int]}} on host,
+        # compacted to arrays on device sync
+        self._nb0 = np.full((self._cap, self.m0), -1, np.int32)
+        self._upper: dict[int, dict[int, list[int]]] = {}
+        self._entry = -1
+        self._max_level = -1
+        self._size = 0
+        self._device_state = None  # invalidated on writes
+
+    # ---------------------------------------------------------------- helpers
+
+    def _prep(self, v: np.ndarray) -> np.ndarray:
+        if self.metric == "cosine":
+            n = np.linalg.norm(v, axis=-1, keepdims=True)
+            return v / np.maximum(n, 1e-30)
+        return v
+
+    def _dist(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Host-side distances a [*, D] vs b [*, D] -> [*] (matches kernel
+        conventions: squared l2 / 1-dot on preprocessed vectors)."""
+        if self.metric == "l2":
+            return ((a - b) ** 2).sum(-1)
+        return 1.0 - (a * b).sum(-1)
+
+    def _assign_level(self) -> int:
+        return int(-math.log(max(self._rng.random(), 1e-12)) * self._mult)
+
+    # ------------------------------------------------------------------ write
+
+    def add(self, rows: np.ndarray, vecs: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        vecs = as_f32_matrix(vecs, self.dims)
+        if rows.size == 0:
+            return
+        self._ensure_capacity(int(rows.max()) + 1)
+        raw = vecs.copy()
+        prepped = self._prep(vecs)
+
+        updates = self._hvalid[rows]
+        if updates.any():
+            # hnswlib re-addPoint on an existing label relinks the point;
+            # we take the simple correct route: rebuild links for those
+            # rows by removing + reinserting.
+            for r in rows[updates]:
+                self._unlink(int(r))
+        self._hx[rows] = raw
+        self._hvalid[rows] = True
+        self._size += int(np.count_nonzero(~updates))
+
+        # wave-based insert: never insert more than half the current
+        # graph at once so wave siblings don't degrade link quality
+        order = np.argsort(rows)  # deterministic
+        pending = rows[order]
+        pvecs = prepped[order]
+        i = 0
+        while i < len(pending):
+            built = max(self._graph_size(), 8)
+            wave = min(len(pending) - i, max(8, built))
+            self._insert_wave(pending[i : i + wave], pvecs[i : i + wave])
+            i += wave
+        self._device_state = None
+
+    def _graph_size(self) -> int:
+        return int(np.count_nonzero(self._levels >= 0))
+
+    def _ensure_capacity(self, need: int) -> None:
+        if need <= self._cap:
+            return
+        new_cap = next_pow2(need, floor=self._cap)
+        for name, fill in (("_hx", 0), ("_hvalid", False), ("_levels", -1)):
+            old = getattr(self, name)
+            shape = (new_cap,) + old.shape[1:]
+            grown = np.full(shape, fill, dtype=old.dtype)
+            grown[: self._cap] = old
+            setattr(self, name, grown)
+        nb0 = np.full((new_cap, self.m0), -1, np.int32)
+        nb0[: self._cap] = self._nb0
+        self._nb0 = nb0
+        self._cap = new_cap
+        self._device_state = None
+
+    def remove(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        for r in rows:
+            r = int(r)
+            if 0 <= r < self._cap and self._hvalid[r]:
+                self._unlink(r)
+                self._hvalid[r] = False
+                self._size -= 1
+        self._device_state = None
+
+    def _unlink(self, r: int) -> None:
+        """Remove r from the graph (drop its links + reciprocal links)."""
+        peers = self._nb0[r]
+        for p in peers[peers >= 0]:
+            lst = self._nb0[p]
+            lst[lst == r] = -1
+        self._nb0[r] = -1
+        lvl = int(self._levels[r])
+        for layer in range(1, lvl + 1):
+            nodes = self._upper.get(layer, {})
+            mine = nodes.pop(r, [])
+            for p in mine:
+                if p in nodes:
+                    nodes[p] = [y for y in nodes[p] if y != r]
+        self._levels[r] = -1
+        if r == self._entry:
+            self._pick_new_entry()
+
+    def _pick_new_entry(self) -> None:
+        self._entry, self._max_level = -1, -1
+        live = np.flatnonzero(self._levels >= 0)
+        if live.size:
+            lv = self._levels[live]
+            j = int(np.argmax(lv))
+            self._entry = int(live[j])
+            self._max_level = int(lv[j])
+
+    # ------------------------------------------------------------ insert wave
+
+    def _insert_wave(self, rows: np.ndarray, pvecs: np.ndarray) -> None:
+        levels = np.asarray([self._assign_level() for _ in rows], np.int32)
+
+        if self._entry < 0:
+            # bootstrap: first node becomes the entry point
+            first = int(rows[0])
+            self._levels[first] = levels[0]
+            self._entry, self._max_level = first, int(levels[0])
+            for layer in range(1, levels[0] + 1):
+                self._upper.setdefault(layer, {})[first] = []
+            rows, pvecs, levels = rows[1:], pvecs[1:], levels[1:]
+            if len(rows) == 0:
+                return
+
+        # --- batched candidate search against the current graph ---
+        searched_max = self._max_level  # layers covered by the search
+        cand_ids, cand_d = self._search_candidates(
+            pvecs, self.ef_construction, levels
+        )
+
+        # --- host link commit (sequential within the wave) ---
+        for j, r in enumerate(rows):
+            r = int(r)
+            lvl = int(levels[j])
+            self._levels[r] = lvl
+            for layer in range(min(lvl, searched_max), -1, -1):
+                ids = cand_ids[layer][j]
+                dd = cand_d[layer][j]
+                keep = ids >= 0
+                ids, dd = ids[keep], dd[keep]
+                mmax = self.m0 if layer == 0 else self.m
+                sel = self._heuristic(ids, dd, self.m)
+                self._set_links(r, layer, sel)
+                for t in sel:
+                    self._add_reciprocal(int(t), r, layer, mmax)
+            for layer in range(self._max_level + 1, lvl + 1):
+                self._upper.setdefault(layer, {})[r] = []
+            if lvl > self._max_level:
+                self._entry, self._max_level = r, lvl
+        # next wave must search the graph including this wave's links
+        self._device_state = None
+
+    def _search_candidates(self, pvecs, ef, levels):
+        """For each wave vector, beam-search every layer it links on.
+        Returns {layer: (ids [W, ef], d [W, ef])} built with numpy host
+        search for tiny graphs and device beam search otherwise."""
+        w = len(pvecs)
+        out_ids = {}
+        out_d = {}
+        gsize = self._graph_size()
+        if gsize <= max(4 * self.ef_construction, 512):
+            # tiny graph: exact host search over live nodes per layer
+            for layer in range(0, self._max_level + 1):
+                nodes = self._layer_nodes(layer)
+                if nodes.size == 0:
+                    out_ids[layer] = np.full((w, ef), -1, np.int64)
+                    out_d[layer] = np.full((w, ef), np.inf, np.float32)
+                    continue
+                nv = self._prep(self._hx[nodes])
+                if self.metric == "l2":
+                    dmat = (
+                        (pvecs[:, None, :] - nv[None, :, :]) ** 2
+                    ).sum(-1)
+                else:
+                    dmat = 1.0 - pvecs @ nv.T
+                kk = min(ef, nodes.size)
+                part = np.argsort(dmat, axis=1)[:, :kk]
+                ids = nodes[part]
+                dd = np.take_along_axis(dmat, part, axis=1)
+                pad = ef - kk
+                if pad:
+                    ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+                    dd = np.pad(
+                        dd, ((0, 0), (0, pad)), constant_values=np.inf
+                    )
+                out_ids[layer] = ids
+                out_d[layer] = dd
+            return out_ids, out_d
+
+        # device path: descend from entry; per layer run beam search.
+        # Upper layers hold ~N/M^l nodes, so their ef (pool size) and
+        # visited ring shrink accordingly — the fixed-shape kernel cost
+        # tracks the layer's actual size instead of paying layer-0 cost
+        # everywhere (hnswlib gets this for free from its dynamic heaps).
+        state = self._device_arrays()
+        b = next_pow2(w, floor=8)
+        q = np.zeros((b, self.dims), np.float32)
+        q[:w] = pvecs
+        qd = jnp.asarray(q)
+        cur = jnp.full((b,), self._entry, jnp.int32)
+        for layer in range(self._max_level, -1, -1):
+            if layer > 0:
+                nb, _ = state["upper"][layer]
+                n_l = max(len(self._upper.get(layer, {})), 1)
+            else:
+                nb = state["nb0"]
+                n_l = gsize
+            ef_l = min(next_pow2(ef, floor=8), next_pow2(n_l, floor=8), 1024)
+            d_d, d_ids = beam_ops.beam_search(
+                qd,
+                cur,
+                nb,
+                state["x"],
+                state["x_sq"],
+                state["valid"],
+                metric=self.metric,
+                ef=ef_l,
+                expand=self.expand,
+                max_hops=ef_l + 64,
+            )
+            ids_np = np.asarray(d_ids)[:w]
+            d_np = np.asarray(d_d)[:w]
+            pad = max(ef - ef_l, 0)
+            out_ids[layer] = np.pad(
+                ids_np[:, :ef].astype(np.int64),
+                ((0, 0), (0, pad)),
+                constant_values=-1,
+            )
+            out_d[layer] = np.pad(
+                d_np[:, :ef], ((0, 0), (0, pad)), constant_values=np.inf
+            )
+            cur = d_ids[:, 0]
+        return out_ids, out_d
+
+    def _layer_nodes(self, layer: int) -> np.ndarray:
+        if layer == 0:
+            return np.flatnonzero(self._levels >= 0)
+        return np.asarray(sorted(self._upper.get(layer, {})), np.int64)
+
+    def _heuristic(self, ids: np.ndarray, dd: np.ndarray, m: int) -> np.ndarray:
+        """hnswlib's getNeighborsByHeuristic2: scan candidates nearest
+        first; keep c iff it's closer to the query than to every
+        already-kept neighbor.  The candidate-candidate distance matrix
+        is computed once, vectorized; only the greedy scan is a loop."""
+        if ids.size == 0:
+            return ids.astype(np.int64)
+        order = np.argsort(dd, kind="stable")
+        ids, dd = ids[order], dd[order]
+        cv = self._prep(self._hx[ids])                      # [C, D]
+        if self.metric == "l2":
+            sq = np.einsum("cd,cd->c", cv, cv)
+            pair = sq[:, None] - 2.0 * (cv @ cv.T) + sq[None, :]
+        else:
+            pair = 1.0 - cv @ cv.T
+        kept_pos: list[int] = []
+        for c in range(len(ids)):
+            if len(kept_pos) >= m:
+                break
+            if not kept_pos or pair[c, kept_pos].min() >= dd[c]:
+                kept_pos.append(c)
+        return ids[kept_pos].astype(np.int64)
+
+    def _set_links(self, r: int, layer: int, targets: np.ndarray) -> None:
+        if layer == 0:
+            lst = np.full((self.m0,), -1, np.int32)
+            lst[: len(targets)] = targets
+            self._nb0[r] = lst
+        else:
+            self._upper.setdefault(layer, {})[r] = [int(t) for t in targets]
+
+    def _add_reciprocal(self, t: int, r: int, layer: int, mmax: int) -> None:
+        if layer == 0:
+            lst = self._nb0[t]
+            if r in lst:
+                return
+            free = np.flatnonzero(lst < 0)
+            if free.size:
+                lst[free[0]] = r
+                return
+            # overflow: re-prune t's neighborhood with the heuristic
+            cand = np.append(lst[lst >= 0], r)
+        else:
+            cur = self._upper.setdefault(layer, {}).setdefault(t, [])
+            if r in cur:
+                return
+            if len(cur) < mmax:
+                cur.append(r)
+                return
+            cand = np.asarray(cur + [r], np.int64)
+        tv = self._prep(self._hx[t][None, :])[0]
+        cv = self._prep(self._hx[cand])
+        dd = self._dist(cv, tv[None, :])
+        sel = self._heuristic(cand.astype(np.int64), dd, mmax)
+        self._set_links(t, layer, sel)
+
+    # ----------------------------------------------------------------- search
+
+    def _device_arrays(self):
+        if self._device_state is not None:
+            return self._device_state
+        x = self._prep(self._hx)
+        state = {
+            "x": jnp.asarray(x),
+            "x_sq": jnp.asarray(np.einsum("nd,nd->n", x, x)),
+            "valid": jnp.asarray(self._hvalid),
+            "nb0": jnp.asarray(self._nb0),
+            "upper": {},
+        }
+        for layer in range(1, self._max_level + 1):
+            nodes = self._upper.get(layer, {})
+            # dense [cap, M] table for the layer (upper layers are small:
+            # ~N/M^layer nodes, so density is wasteful in memory but keeps
+            # ids global; compact tables come with the big-N path).  Every
+            # layer up to max_level gets a table, even if empty — search
+            # of an empty layer just returns the entry point.
+            tbl = np.full((self._cap, self.m), -1, np.int32)
+            for node, lst in nodes.items():
+                tbl[node, : len(lst)] = lst[: self.m]
+            state["upper"][layer] = (jnp.asarray(tbl), None)
+        self._device_state = state
+        return state
+
+    def search(
+        self, queries: np.ndarray, k: int, ef: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = as_f32_matrix(queries, self.dims)
+        b = queries.shape[0]
+        if self._size == 0 or k <= 0 or self._entry < 0:
+            return (
+                np.full((b, max(k, 0)), np.inf, np.float32),
+                np.full((b, max(k, 0)), -1, np.int64),
+            )
+        ef = max(ef or self.ef_search, k)
+        state = self._device_arrays()
+        pb = _bucket(b)
+        q = np.zeros((pb, self.dims), np.float32)
+        q[:b] = self._prep(queries)
+        qd = jnp.asarray(q)
+        cur = jnp.full((pb,), self._entry, jnp.int32)
+        for layer in range(self._max_level, 0, -1):
+            if layer not in state["upper"]:
+                continue
+            nb, _ = state["upper"][layer]
+            cur = beam_ops.greedy_descend(
+                qd, cur, nb, state["x"], state["x_sq"], metric=self.metric
+            )
+        ef_l = min(next_pow2(ef, floor=8), 1024)
+        d, ids = beam_ops.beam_search(
+            qd,
+            cur,
+            state["nb0"],
+            state["x"],
+            state["x_sq"],
+            state["valid"],
+            metric=self.metric,
+            ef=ef_l,
+            expand=self.expand,
+            max_hops=2 * ef_l + 64,
+        )
+        d = np.asarray(d)[:b, :k]
+        ids = np.asarray(ids)[:b, :k].astype(np.int64)
+        ids[~np.isfinite(d)] = -1
+        if self.metric == "l2":
+            pass  # beam returns true squared L2 already
+        return d, ids
+
+    # ------------------------------------------------------------------ misc
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    def vector(self, row: int) -> np.ndarray:
+        return self._hx[row].copy()
+
+    def vectors(self, rows: np.ndarray) -> np.ndarray:
+        return self._hx[np.asarray(rows, dtype=np.int64)]
+
+    # -------------------------------------------------------------- snapshot
+
+    def state_arrays(self) -> dict[str, np.ndarray]:
+        arrs = {
+            "x": self._hx,
+            "valid": self._hvalid,
+            "levels": self._levels,
+            "nb0": self._nb0,
+            "meta": np.asarray(
+                [self._entry, self._max_level, self.m, self.ef_construction],
+                np.int64,
+            ),
+        }
+        for layer, nodes in self._upper.items():
+            flat = []
+            for node, lst in nodes.items():
+                flat.append([node] + lst + [-1] * (self.m - len(lst)))
+            if flat:
+                arrs[f"upper{layer}"] = np.asarray(flat, np.int64)
+        return arrs
+
+    @classmethod
+    def from_state(
+        cls, dims: int, metric: str, arrays: dict[str, np.ndarray], **kw
+    ) -> "HNSWIndex":
+        meta = arrays["meta"]
+        idx = cls(
+            dims,
+            metric=metric,
+            m=int(meta[2]),
+            ef_construction=int(meta[3]),
+            capacity=arrays["x"].shape[0],
+            **kw,
+        )
+        idx._hx[:] = arrays["x"]
+        idx._hvalid[:] = arrays["valid"]
+        idx._levels[:] = arrays["levels"]
+        idx._nb0[:] = arrays["nb0"]
+        idx._entry, idx._max_level = int(meta[0]), int(meta[1])
+        idx._size = int(np.count_nonzero(idx._hvalid))
+        for name, arr in arrays.items():
+            if name.startswith("upper"):
+                layer = int(name[5:])
+                idx._upper[layer] = {
+                    int(row[0]): [int(v) for v in row[1:] if v >= 0]
+                    for row in arr
+                }
+        return idx

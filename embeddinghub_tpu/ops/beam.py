@@ -1,0 +1,206 @@
+"""Batched graph beam search — the TPU replacement for hnswlib's
+``searchKnn``/``searchBaseLayer`` (reference hot loop behind
+``index.cc:41-51``).
+
+hnswlib walks the graph one query at a time with priority queues and a
+visited-bitset.  That shape (pointer chasing, dynamic heaps) is hostile
+to the MXU/VPU, so this kernel restructures the walk as fixed-shape
+SPMD over a query batch:
+
+  * candidate pool   — ``[B, EF]`` (dist, id, expanded-flag) arrays; the
+    "heap" is a masked top-k merge;
+  * expansion        — the best ``E`` unexpanded candidates per query
+    expand per hop (E=1 reproduces hnswlib's order; E>1 trades a few
+    extra distance evals for ~E x fewer sequential hops — the hops are
+    the latency-bound part on TPU);
+  * neighbor fetch   — gather rows of the ``[N, M]`` neighbor table,
+    then one ``[B, E*M, D] x [B, D]`` distance einsum (MXU);
+  * visited set      — none needed: new fetches are deduped against the
+    current pool (``[B, E*M, EF]`` compare).  Because the pool's worst
+    distance only ever improves, an evicted node can never re-enter, so
+    "in-pool dedup + expanded flags" IS exact visited semantics; a
+    re-fetched evicted node merely recomputes one distance and fails
+    the merge.  This removes hnswlib's visited-bitset state entirely —
+    the classic trade of a little redundant compute for no sequential
+    bookkeeping;
+  * termination      — ``lax.while_loop`` whose condition mirrors
+    hnswlib's: stop when the nearest unexpanded candidate is farther
+    than the worst pool entry (pool full), all queries jointly.
+
+Shapes are static in (B, EF, E, M); no recompilation per query batch
+(B is bucketed by the caller).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+def _pairwise_to_neighbors(q, nvecs, metric, nsq):
+    """dist(q [B, D], nvecs [B, K, D]) -> [B, K] (squared L2 or 1-dot)."""
+    dots = jnp.einsum(
+        "bkd,bd->bk", nvecs, q, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        qsq = jnp.einsum("bd,bd->b", q, q)[:, None]
+        return jnp.maximum(nsq - 2.0 * dots + qsq, 0.0)
+    return 1.0 - dots
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "ef", "expand", "max_hops"),
+)
+def beam_search(
+    q: jax.Array,           # [B, D] queries (f32)
+    entry_ids: jax.Array,   # [B] entry node per query (int32)
+    neighbors: jax.Array,   # [N, M] int32 neighbor table, -1 padded
+    x: jax.Array,           # [N, D] vectors (f32)
+    x_sq: jax.Array,        # [N] squared norms (l2) / ones
+    valid: jax.Array,       # [N] live-row mask
+    *,
+    metric: str = "l2",
+    ef: int = 64,
+    expand: int = 4,
+    max_hops: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Beam search one layer from ``entry_ids``.
+
+    Returns ``(dist [B, ef], ids [B, ef])`` sorted nearest-first
+    (+inf / -1 padding).  All ids are row indices into ``x``.
+    """
+    b, d = q.shape
+    m = neighbors.shape[1]
+    e = min(expand, ef)  # can't expand more candidates than the pool holds
+
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+
+    # --- init pool with the entry points ---
+    entry_ids = entry_ids.astype(jnp.int32)
+    evecs = x[entry_ids]
+    ed = _pairwise_to_neighbors(
+        q, evecs[:, None, :], metric, x_sq[entry_ids][:, None]
+    )
+    ed = jnp.where(valid[entry_ids][:, None], ed, INF)
+
+    pool_d = jnp.concatenate([ed, jnp.full((b, ef - 1), INF)], axis=1)
+    pool_i = jnp.concatenate(
+        [entry_ids[:, None], jnp.full((b, ef - 1), -1, jnp.int32)], axis=1
+    )
+    pool_x = jnp.zeros((b, ef), bool)
+
+    def cond(state):
+        pool_d, pool_i, pool_x, hops = state
+        unexp = jnp.where(~pool_x & (pool_i >= 0), pool_d, INF)
+        best_unexp = jnp.min(unexp, axis=1)
+        worst = jnp.max(jnp.where(pool_i >= 0, pool_d, -INF), axis=1)
+        pool_full = jnp.sum((pool_i >= 0).astype(jnp.int32), axis=1) >= ef
+        active = jnp.isfinite(best_unexp) & (
+            ~pool_full | (best_unexp <= worst)
+        )
+        return jnp.any(active) & (hops < max_hops)
+
+    def body(state):
+        pool_d, pool_i, pool_x, hops = state
+
+        # --- pick the E best unexpanded candidates per query ---
+        unexp_d = jnp.where(~pool_x & (pool_i >= 0), pool_d, INF)
+        _, sel = jax.lax.top_k(-unexp_d, e)             # [B, E] pool positions
+        sel_valid = jnp.take_along_axis(unexp_d, sel, axis=1) < INF
+        sel_ids = jnp.take_along_axis(pool_i, sel, axis=1)
+        sel_ids = jnp.where(sel_valid, sel_ids, 0)
+
+        # mark them expanded (one-hot OR over positions)
+        hit = (
+            jnp.arange(ef)[None, None, :] == sel[:, :, None]
+        ) & sel_valid[:, :, None]
+        pool_x = pool_x | hit.any(axis=1)
+
+        # --- gather neighbor lists: [B, E, M] -> [B, E*M] ---
+        nb = neighbors[sel_ids].reshape(b, e * m)
+        nb = jnp.where(jnp.repeat(sel_valid, m, axis=1), nb, -1)
+
+        # --- dedup: drop entries already in the pool or repeated in
+        # this fetch (keep first occurrence) ---
+        in_pool = (nb[:, :, None] == pool_i[:, None, :]).any(axis=2)
+        eq = nb[:, :, None] == nb[:, None, :]
+        earlier = jnp.tril(jnp.ones((e * m, e * m), bool), k=-1)
+        dup = (eq & earlier[None]).any(axis=2)
+        live = (nb >= 0) & ~in_pool & ~dup
+        nb_safe = jnp.where(live, nb, 0)
+
+        # --- distances for fetched neighbors ---
+        nvecs = x[nb_safe]
+        ndist = _pairwise_to_neighbors(q, nvecs, metric, x_sq[nb_safe])
+        ndist = jnp.where(live & valid[nb_safe], ndist, INF)
+        nb_id = jnp.where(live, nb, -1)
+
+        # --- merge into pool (expanded flags travel with entries) ---
+        all_d = jnp.concatenate([pool_d, ndist], axis=1)
+        all_i = jnp.concatenate([pool_i, nb_id], axis=1)
+        all_x = jnp.concatenate([pool_x, jnp.zeros_like(ndist, bool)], axis=1)
+        nd, pos = jax.lax.top_k(-all_d, ef)
+        pool_d = -nd
+        pool_i = jnp.take_along_axis(all_i, pos, axis=1)
+        pool_x = jnp.take_along_axis(all_x, pos, axis=1)
+
+        return pool_d, pool_i, pool_x, hops + 1
+
+    state = (pool_d, pool_i, pool_x, jnp.int32(0))
+    pool_d, pool_i, pool_x, hops = jax.lax.while_loop(cond, body, state)
+    return pool_d, pool_i
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "max_hops"))
+def greedy_descend(
+    q: jax.Array,          # [B, D]
+    entry_ids: jax.Array,  # [B]
+    neighbors: jax.Array,  # [N, M] one upper layer's table
+    x: jax.Array,
+    x_sq: jax.Array,
+    *,
+    metric: str = "l2",
+    max_hops: int = 64,
+) -> jax.Array:
+    """hnswlib's upper-layer ef=1 greedy walk, batched: repeatedly move
+    to the closest neighbor until no improvement.  Returns [B] ids."""
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+
+    cur = entry_ids.astype(jnp.int32)
+    cur_d = _pairwise_to_neighbors(
+        q, x[cur][:, None, :], metric, x_sq[cur][:, None]
+    )[:, 0]
+
+    def cond(state):
+        cur, cur_d, improved, hops = state
+        return jnp.any(improved) & (hops < max_hops)
+
+    def body(state):
+        cur, cur_d, improved, hops = state
+        nb = neighbors[cur]
+        live = nb >= 0
+        nb_safe = jnp.where(live, nb, 0)
+        nd = _pairwise_to_neighbors(q, x[nb_safe], metric, x_sq[nb_safe])
+        nd = jnp.where(live, nd, INF)
+        best = jnp.argmin(nd, axis=1)
+        best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
+        step = best_d < cur_d
+        new_cur = jnp.where(
+            step,
+            jnp.take_along_axis(nb_safe, best[:, None], axis=1)[:, 0],
+            cur,
+        )
+        new_d = jnp.where(step, best_d, cur_d)
+        return new_cur, new_d, step, hops + 1
+
+    cur, cur_d, _, _ = jax.lax.while_loop(
+        cond, body, (cur, cur_d, jnp.ones(q.shape[0], bool), jnp.int32(0))
+    )
+    return cur

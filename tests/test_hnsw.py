@@ -1,0 +1,120 @@
+"""HNSW index tests: semantics + recall against the exact oracle.
+
+Mirrors reference ``index_test.cc`` exactness style plus the
+BASELINE-style recall sweep (small scale; the big sweeps live in
+benchmarks/).
+"""
+
+import numpy as np
+import pytest
+
+from embeddinghub_tpu.index.hnsw import HNSWIndex
+
+
+def oracle_topk(q, x, k, metric="l2"):
+    if metric == "l2":
+        d = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    else:
+        qa = q / np.linalg.norm(q, axis=1, keepdims=True)
+        xa = x / np.linalg.norm(x, axis=1, keepdims=True)
+        d = 1 - qa @ xa.T
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def test_small_exact():
+    idx = HNSWIndex(dims=3, m=4, ef_construction=16, ef_search=8)
+    vecs = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.float32)
+    idx.add(np.arange(3), vecs)
+    d, i = idx.search(np.array([[1, 2, 3]], np.float32), k=3)
+    assert list(i[0]) == [0, 1, 2]
+    np.testing.assert_allclose(d[0], [0.0, 27.0, 108.0], atol=1e-3)
+
+
+def test_k_zero_and_empty():
+    idx = HNSWIndex(dims=2)
+    d, i = idx.search(np.zeros((1, 2), np.float32), k=3)
+    assert (i == -1).all()
+    idx.add([0], [[1.0, 1.0]])
+    d, i = idx.search(np.zeros((1, 2), np.float32), k=0)
+    assert i.shape == (1, 0)
+
+
+def test_update_vector_moves_it():
+    idx = HNSWIndex(dims=2, m=4, ef_construction=16, ef_search=8)
+    idx.add(np.arange(3), [[0.0, 0], [5, 5], [9, 9]])
+    idx.add([0], [[8.0, 8.0]])  # move row 0 next to row 2
+    _, i = idx.search(np.array([[8.1, 8.1]], np.float32), k=1)
+    assert i[0, 0] == 0
+    assert idx.size == 3
+
+
+def test_remove_unlinks():
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    idx = HNSWIndex(dims=8, m=8, ef_construction=32, ef_search=32)
+    idx.add(np.arange(50), vecs)
+    idx.remove([7])
+    _, i = idx.search(vecs[7:8], k=10)
+    assert 7 not in i[0]
+    assert idx.size == 49
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+def test_recall_small(metric, rng):
+    n, d, nq, k = 2000, 16, 64, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = HNSWIndex(dims=d, metric=metric, m=16, ef_construction=100)
+    idx.add(np.arange(n), vecs)
+    _, got = idx.search(q, k, ef=64)
+    oracle = oracle_topk(q, vecs, k, metric)
+    recall = np.mean(
+        [len(set(got[i]) & set(oracle[i])) / k for i in range(nq)]
+    )
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_recall_improves_with_ef(rng):
+    n, d, nq, k = 3000, 24, 50, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    idx = HNSWIndex(dims=d, m=12, ef_construction=80)
+    idx.add(np.arange(n), vecs)
+    oracle = oracle_topk(q, vecs, k)
+
+    def recall(ef):
+        _, got = idx.search(q, k, ef=ef)
+        return np.mean(
+            [len(set(got[i]) & set(oracle[i])) / k for i in range(nq)]
+        )
+
+    r10, r100 = recall(10), recall(100)
+    assert r100 >= r10 - 0.02
+    assert r100 >= 0.93
+
+
+def test_incremental_build_matches_bulk(rng):
+    """Recall shouldn't collapse when inserting in many small batches."""
+    n, d, k = 1500, 16, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((32, d)).astype(np.float32)
+    idx = HNSWIndex(dims=d, m=12, ef_construction=64)
+    for start in range(0, n, 100):
+        idx.add(np.arange(start, min(start + 100, n)), vecs[start : start + 100])
+    oracle = oracle_topk(q, vecs, k)
+    _, got = idx.search(q, k, ef=80)
+    recall = np.mean([len(set(got[i]) & set(oracle[i])) / k for i in range(32)])
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_snapshot_roundtrip(rng):
+    n, d = 300, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HNSWIndex(dims=d, m=8, ef_construction=32)
+    idx.add(np.arange(n), vecs)
+    state = idx.state_arrays()
+    idx2 = HNSWIndex.from_state(d, "l2", state)
+    q = vecs[42:43]
+    _, a = idx.search(q, 5, ef=50)
+    _, b = idx2.search(q, 5, ef=50)
+    assert a[0, 0] == b[0, 0] == 42
