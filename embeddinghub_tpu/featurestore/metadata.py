@@ -1,0 +1,235 @@
+"""MetadataStore — the resource registry.
+
+Rebuild of the reference metadata service core
+(``metadata/metadata.go``: create with equivalence dedupe, variant
+listing, status transitions, deletion staging ``MarkForDeletion``/
+``PruneResource`` at ``metadata.go:2402-2429``) minus the gRPC hop: the
+store is an embeddable object (the serving/coordinator layers call it
+directly; a gRPC facade can front it unchanged).
+
+Storage is pluggable (reference ``storage/``: memory/psql/etcd): a
+dict-backed store and a sqlite-backed store ship here.
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+import threading
+from typing import Callable, Iterable
+
+from embeddinghub_tpu.featurestore import fferr
+from embeddinghub_tpu.featurestore.resources import (
+    Resource,
+    ResourceID,
+    ResourceType,
+    Status,
+    VARIANT_TYPES,
+)
+
+
+class MetadataStore:
+    def __init__(self, storage: "KVStorage | None" = None):
+        self._kv = storage if storage is not None else MemoryStorage()
+        self._lock = threading.RLock()
+        self._watchers: list[Callable[[Resource], None]] = []
+
+    # ------------------------------------------------------------------ write
+
+    def create(self, res: Resource) -> bool:
+        """Create a resource.  Variant resources are immutable: identical
+        re-registration is a no-op (returns False), conflicting
+        re-registration raises (the GetEquivalent path).  Non-variant
+        resources (users, providers, entities) upsert."""
+        rid = res.rid()
+        with self._lock:
+            existing = self._get_raw(rid)
+            if existing is not None:
+                if rid.type in VARIANT_TYPES:
+                    if existing.equiv_hash() == res.equiv_hash():
+                        return False
+                    raise fferr.ResourceChangedError(
+                        rid.type.value, rid.name, rid.variant
+                    )
+                # upsert mutable resource types
+            res.status = (
+                Status.PENDING if res.needs_job() else Status.READY
+            )
+            self._put_raw(res)
+        for w in list(self._watchers):
+            w(res)
+        return True
+
+    def set_status(
+        self, rid: ResourceID, status: Status, error: str = ""
+    ) -> None:
+        with self._lock:
+            res = self._must_get(rid)
+            res.status = status
+            res.status_error = error
+            self._put_raw(res)
+
+    def delete(self, rid: ResourceID) -> None:
+        """Two-phase delete (MarkForDeletion then Prune)."""
+        with self._lock:
+            res = self._must_get(rid)
+            dependents = self.dependents(rid)
+            if dependents:
+                raise fferr.InvalidResourceError(
+                    f"cannot delete {rid.key()}: required by "
+                    + ", ".join(d.key() for d in dependents)
+                )
+            res.status = Status.DELETING
+            self._put_raw(res)
+            self._kv.delete(rid.key())
+
+    # ------------------------------------------------------------------- read
+
+    def get(self, rid: ResourceID) -> Resource:
+        with self._lock:
+            return self._must_get(rid)
+
+    def maybe_get(self, rid: ResourceID) -> Resource | None:
+        with self._lock:
+            return self._get_raw(rid)
+
+    def list_type(self, rtype: ResourceType) -> list[Resource]:
+        with self._lock:
+            return [
+                r
+                for r in self._kv.values()
+                if r.rtype == rtype and r.status != Status.DELETING
+            ]
+
+    def variants(self, rtype: ResourceType, name: str) -> list[Resource]:
+        with self._lock:
+            return [
+                r
+                for r in self._kv.values()
+                if r.rtype == rtype and r.name == name
+            ]
+
+    def dependents(self, rid: ResourceID) -> list[ResourceID]:
+        """Resources that list rid as a dependency."""
+        out = []
+        for r in self._kv.values():
+            if any(d.key() == rid.key() for d in r.dependencies()):
+                out.append(r.rid())
+        return out
+
+    def all(self) -> list[Resource]:
+        with self._lock:
+            return list(self._kv.values())
+
+    # --------------------------------------------------------------- helpers
+
+    def watch(self, fn: Callable[[Resource], None]) -> None:
+        """Register a creation watcher (the coordinator subscribes)."""
+        self._watchers.append(fn)
+
+    def _must_get(self, rid: ResourceID) -> Resource:
+        res = self._get_raw(rid)
+        if res is None:
+            raise fferr.ResourceNotFoundError(
+                rid.type.value, rid.name, rid.variant or None
+            )
+        return res
+
+    def _get_raw(self, rid: ResourceID) -> Resource | None:
+        return self._kv.get(rid.key())
+
+    def _put_raw(self, res: Resource) -> None:
+        self._kv.put(res.rid().key(), res)
+
+
+# ------------------------------------------------------------------ storage
+
+
+class KVStorage:
+    """Metadata KV interface (reference storage/metadata_storage.go)."""
+
+    def get(self, key: str):
+        raise NotImplementedError
+
+    def put(self, key: str, value) -> None:
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+    def values(self) -> Iterable:
+        raise NotImplementedError
+
+
+class MemoryStorage(KVStorage):
+    def __init__(self):
+        self._d: dict[str, Resource] = {}
+
+    def get(self, key):
+        return self._d.get(key)
+
+    def put(self, key, value):
+        self._d[key] = value
+
+    def delete(self, key):
+        self._d.pop(key, None)
+
+    def values(self):
+        return list(self._d.values())
+
+
+class SqliteStorage(KVStorage):
+    """Durable metadata KV (the psql analog for a single node).
+
+    Resources are pickled; sqlite gives atomic writes + survives
+    restarts (reference runs goose migrations on psql, main.go:93-105).
+    """
+
+    def __init__(self, path: str):
+        self._path = path
+        self._local = threading.local()
+        con = self._con()
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS resources (key TEXT PRIMARY KEY, val BLOB)"
+        )
+        con.commit()
+
+    def _con(self) -> sqlite3.Connection:
+        if not hasattr(self._local, "con"):
+            self._local.con = sqlite3.connect(self._path)
+        return self._local.con
+
+    def get(self, key):
+        row = self._con().execute(
+            "SELECT val FROM resources WHERE key=?", (key,)
+        ).fetchone()
+        if row is None:
+            return None
+        import pickle
+
+        return pickle.loads(row[0])
+
+    def put(self, key, value):
+        import pickle
+
+        blob = pickle.dumps(value)
+        con = self._con()
+        con.execute(
+            "INSERT INTO resources (key, val) VALUES (?, ?) "
+            "ON CONFLICT(key) DO UPDATE SET val=excluded.val",
+            (key, blob),
+        )
+        con.commit()
+
+    def delete(self, key):
+        con = self._con()
+        con.execute("DELETE FROM resources WHERE key=?", (key,))
+        con.commit()
+
+    def values(self):
+        import pickle
+
+        return [
+            pickle.loads(row[0])
+            for row in self._con().execute("SELECT val FROM resources")
+        ]

@@ -1,0 +1,419 @@
+"""Registrar + Client — the user-facing registration API.
+
+Rebuild of the reference Python client's surface
+(``client/src/featureform/register.py``: a global Registrar with
+``register_*`` builders, sql/df transformation decorators,
+``ff.Embedding`` columns at ``register.py:1868``; ``client.py:66``'s
+unified ``Client`` = ResourceClient + ServingClient;
+``resources.py``'s ``ResourceState.create_all`` topological apply).
+
+Example::
+
+    import embeddinghub_tpu.featurestore as ff
+
+    ff.global_registrar().reset()
+    reg = ff.global_registrar()
+    offline = reg.register_sqlite_offline("warehouse")
+    vectors = reg.register_engine_vector_store("vectors")
+    reg.register_entity("user")
+    src = reg.register_primary_data(
+        "events", provider="warehouse",
+        location={"rows": [...]})
+    reg.register_embedding_feature(
+        "user_embedding", source=("events", "default"), entity="user",
+        entity_column="user_id", value_column="vector", dims=64,
+        provider="vectors")
+    client = ff.Client(local=True)
+    client.apply()
+    client.nearest("user_embedding", "default", query_vec, 5)
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable
+
+from embeddinghub_tpu.featurestore import fferr
+from embeddinghub_tpu.featurestore.coordinator import Coordinator
+from embeddinghub_tpu.featurestore.metadata import MetadataStore
+from embeddinghub_tpu.featurestore.resources import (
+    Entity,
+    FeatureVariant,
+    LabelVariant,
+    Model,
+    Provider,
+    Resource,
+    ResourceType,
+    SourceVariant,
+    Status,
+    TrainingSetVariant,
+    User,
+)
+from embeddinghub_tpu.featurestore.serving import Dataset, ServingClient
+
+
+class Registrar:
+    """Accumulates resource definitions; ``Client.apply()`` submits them
+    in dependency order."""
+
+    def __init__(self):
+        self._resources: list[Resource] = []
+        self._default_owner = ""
+
+    def reset(self) -> None:
+        self._resources.clear()
+
+    def resources(self) -> list[Resource]:
+        return list(self._resources)
+
+    def _add(self, res: Resource) -> Resource:
+        if not res.owner:
+            res.owner = self._default_owner
+        self._resources.append(res)
+        return res
+
+    # ----------------------------------------------------------- principals
+
+    def register_user(self, name: str) -> User:
+        user = User(name=name)
+        self._add(user)
+        return user
+
+    def set_default_owner(self, name: str) -> None:
+        self._default_owner = name
+
+    def register_entity(self, name: str, description: str = "") -> Entity:
+        return self._add(Entity(name=name, description=description))
+
+    def register_model(self, name: str) -> Model:
+        return self._add(Model(name=name))
+
+    # ------------------------------------------------------------ providers
+
+    def register_provider(
+        self, name: str, provider_type: str, config: dict | None = None, **kw
+    ) -> Provider:
+        return self._add(
+            Provider(
+                name=name, provider_type=provider_type, config=config or {}, **kw
+            )
+        )
+
+    def register_memory_online(self, name: str = "memory-online") -> Provider:
+        return self.register_provider(name, "MEMORY_ONLINE")
+
+    def register_sqlite_offline(
+        self, name: str = "sqlite-offline", path: str = ":memory:"
+    ) -> Provider:
+        return self.register_provider(name, "SQLITE_OFFLINE", {"path": path})
+
+    def register_engine_vector_store(
+        self,
+        name: str = "embeddinghub-tpu",
+        path: str | None = None,
+        metric: str = "cosine",
+    ) -> Provider:
+        """The TPU engine as the vector store (where the reference wires
+        Redis/Pinecone/Weaviate)."""
+        return self.register_provider(
+            name, "EMBEDDINGHUB_TPU", {"path": path, "metric": metric}
+        )
+
+    def register_remote_vector_store(
+        self, name: str, host: str = "0.0.0.0", port: int = 7462
+    ) -> Provider:
+        return self.register_provider(
+            name, "EMBEDDINGHUB_GRPC", {"host": host, "port": port}
+        )
+
+    # -------------------------------------------------------------- sources
+
+    def register_primary_data(
+        self,
+        name: str,
+        provider: str,
+        location: Any,
+        variant: str = "default",
+        **kw,
+    ) -> SourceVariant:
+        return self._add(
+            SourceVariant(
+                name=name, variant=variant, provider=provider, primary=location, **kw
+            )
+        )
+
+    def sql_transformation(
+        self, name: str, provider: str, variant: str = "default", inputs=None, **kw
+    ) -> Callable:
+        """Decorator: the function's docstring/return is the SQL text
+        with ``{{ source.variant }}`` placeholders (register.py's
+        sql_transformation decorator style)."""
+
+        def decorator(fn):
+            sql = fn() if callable(fn) else fn
+            if not isinstance(sql, str):
+                sql = fn.__doc__ or ""
+            self._add(
+                SourceVariant(
+                    name=name,
+                    variant=variant,
+                    provider=provider,
+                    transformation={"sql": sql},
+                    inputs=[tuple(i) for i in (inputs or [])],
+                    **kw,
+                )
+            )
+            return fn
+
+        return decorator
+
+    def df_transformation(
+        self, name: str, provider: str, inputs: list, variant: str = "default", **kw
+    ) -> Callable:
+        """Decorator: fn(rows_of_each_input...) -> list[dict]."""
+
+        def decorator(fn):
+            self._add(
+                SourceVariant(
+                    name=name,
+                    variant=variant,
+                    provider=provider,
+                    transformation={"df": fn},
+                    inputs=[tuple(i) for i in inputs],
+                    **kw,
+                )
+            )
+            return fn
+
+        return decorator
+
+    # ------------------------------------------------------- features/labels
+
+    def register_feature(
+        self,
+        name: str,
+        source: tuple[str, str],
+        entity: str,
+        entity_column: str,
+        value_column: str,
+        provider: str,
+        variant: str = "default",
+        value_type: str = "float32",
+        timestamp_column: str = "",
+        **kw,
+    ) -> FeatureVariant:
+        return self._add(
+            FeatureVariant(
+                name=name,
+                variant=variant,
+                source=tuple(source),
+                entity=entity,
+                entity_column=entity_column,
+                value_column=value_column,
+                timestamp_column=timestamp_column,
+                provider=provider,
+                value_type=value_type,
+                **kw,
+            )
+        )
+
+    def register_embedding_feature(
+        self,
+        name: str,
+        source: tuple[str, str],
+        entity: str,
+        entity_column: str,
+        value_column: str,
+        dims: int,
+        provider: str,
+        variant: str = "default",
+        **kw,
+    ) -> FeatureVariant:
+        """ff.Embedding parity (register.py:1868/6218: embedding column
+        resources bound to a vector_db provider)."""
+        return self.register_feature(
+            name,
+            source,
+            entity,
+            entity_column,
+            value_column,
+            provider,
+            variant=variant,
+            value_type="embedding",
+            is_embedding=True,
+            dims=dims,
+            **kw,
+        )
+
+    def ondemand_feature(
+        self, name: str, variant: str = "default", **kw
+    ) -> Callable:
+        """Decorator for client-side on-demand features
+        (fn(client, params, entities) -> value)."""
+
+        def decorator(fn):
+            self._add(
+                FeatureVariant(
+                    name=name, variant=variant, on_demand_fn=fn, **kw
+                )
+            )
+            return fn
+
+        return decorator
+
+    def register_label(
+        self,
+        name: str,
+        source: tuple[str, str],
+        entity: str,
+        entity_column: str,
+        value_column: str,
+        variant: str = "default",
+        timestamp_column: str = "",
+        **kw,
+    ) -> LabelVariant:
+        return self._add(
+            LabelVariant(
+                name=name,
+                variant=variant,
+                source=tuple(source),
+                entity=entity,
+                entity_column=entity_column,
+                value_column=value_column,
+                timestamp_column=timestamp_column,
+                **kw,
+            )
+        )
+
+    def register_training_set(
+        self,
+        name: str,
+        label: tuple[str, str],
+        features: list[tuple[str, str]],
+        provider: str = "",
+        variant: str = "default",
+        **kw,
+    ) -> TrainingSetVariant:
+        return self._add(
+            TrainingSetVariant(
+                name=name,
+                variant=variant,
+                label=tuple(label),
+                features=[tuple(f) for f in features],
+                provider=provider,
+                **kw,
+            )
+        )
+
+
+_GLOBAL = Registrar()
+_GLOBAL_LOCK = threading.Lock()
+
+
+def global_registrar() -> Registrar:
+    return _GLOBAL
+
+
+class Client(ServingClient):
+    """Unified client (resource ops + serving), reference ``client.py:66``.
+
+    ``local=True`` runs the full control plane in-process: metadata
+    store + coordinator + providers (the reference's localmode
+    equivalent, minus any external infra)."""
+
+    def __init__(
+        self,
+        registrar: Registrar | None = None,
+        metadata: MetadataStore | None = None,
+        coordinator: Coordinator | None = None,
+        local: bool = True,
+    ):
+        self.registrar = registrar or global_registrar()
+        metadata = metadata if metadata is not None else MetadataStore()
+        coordinator = (
+            coordinator if coordinator is not None else Coordinator(metadata)
+        )
+        super().__init__(metadata, coordinator)
+        self.coordinator = coordinator
+
+    # ----------------------------------------------------------------- apply
+
+    def apply(self, wait: bool = True) -> list[Resource]:
+        """Submit registered resources in dependency order (the
+        reference's ResourceState.create_all), then drive tasks to
+        completion when ``wait``."""
+        pending = self.registrar.resources()
+        created = []
+        for res in _topo_sort(pending):
+            try:
+                if self.metadata.create(res):
+                    created.append(res)
+            except fferr.ResourceChangedError:
+                raise
+        if wait:
+            self.coordinator.run_pending_sync()
+        self.registrar.reset()
+        return created
+
+    # ------------------------------------------------------------- resource
+
+    def get_status(self, rtype: ResourceType, name: str, variant: str = ""):
+        from embeddinghub_tpu.featurestore.resources import ResourceID
+
+        return self.metadata.get(ResourceID(rtype, name, variant)).status
+
+    def list_resources(self, rtype: ResourceType):
+        return self.metadata.list_type(rtype)
+
+    def dataframe(self, source: str, variant: str = "default") -> list[dict]:
+        """Rows of a source table (client.py:123's dataframe, as list of
+        dicts — pandas-free)."""
+        from embeddinghub_tpu.featurestore.resources import ResourceID
+
+        src = self.metadata.get(
+            ResourceID(ResourceType.SOURCE_VARIANT, source, variant)
+        )
+        offline = self._provider(src.provider).as_offline_store()
+        return offline.table_rows(source, variant)
+
+
+def _topo_sort(resources: list[Resource]) -> list[Resource]:
+    """Order: users/providers/entities first, then sources (respecting
+    transformation inputs), then features/labels, then training sets."""
+    rank = {
+        ResourceType.USER: 0,
+        ResourceType.PROVIDER: 0,
+        ResourceType.ENTITY: 0,
+        ResourceType.MODEL: 0,
+        ResourceType.SOURCE_VARIANT: 1,
+        ResourceType.FEATURE_VARIANT: 2,
+        ResourceType.LABEL_VARIANT: 2,
+        ResourceType.TRAINING_SET_VARIANT: 3,
+    }
+    sources = [r for r in resources if r.rtype == ResourceType.SOURCE_VARIANT]
+    order: dict[str, int] = {}
+
+    def depth(src: SourceVariant, seen=()) -> int:
+        key = f"{src.name}/{src.variant}"
+        if key in order:
+            return order[key]
+        if key in seen:
+            raise fferr.InvalidResourceError(f"source cycle at {key}")
+        d = 0
+        for n, v in src.inputs:
+            dep = next(
+                (s for s in sources if s.name == n and getattr(s, "variant", "") == v),
+                None,
+            )
+            if dep is not None:
+                d = max(d, depth(dep, seen + (key,)) + 1)
+        order[key] = d
+        return d
+
+    def sort_key(r: Resource):
+        base = rank.get(r.rtype, 1)
+        if isinstance(r, SourceVariant):
+            return (base, depth(r))
+        return (base, 0)
+
+    return sorted(resources, key=sort_key)

@@ -1,0 +1,248 @@
+"""Typed resources and variants.
+
+Rebuild of the reference resource model: Go ``metadata/metadata.go``'s
+``Resource`` interface + per-type ``*Variant`` structs and the Python
+client's dataclasses (``client/src/featureform/resources.py``).  A
+resource is identified by (type, name[, variant]); variant-typed
+resources are immutable once created — re-registering with identical
+properties is a no-op (the ``GetEquivalent`` dedupe,
+``metadata/proto/metadata.proto:57`` / ``metadata/equivalence/``),
+re-registering with different properties is an error.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import hashlib
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class ResourceType(str, enum.Enum):
+    USER = "USER"
+    PROVIDER = "PROVIDER"
+    ENTITY = "ENTITY"
+    SOURCE_VARIANT = "SOURCE_VARIANT"
+    FEATURE_VARIANT = "FEATURE_VARIANT"
+    LABEL_VARIANT = "LABEL_VARIANT"
+    TRAINING_SET_VARIANT = "TRAINING_SET_VARIANT"
+    MODEL = "MODEL"
+
+
+class Status(str, enum.Enum):
+    NO_STATUS = "NO_STATUS"
+    CREATED = "CREATED"
+    PENDING = "PENDING"
+    RUNNING = "RUNNING"
+    READY = "READY"
+    FAILED = "FAILED"
+    DELETING = "DELETING"
+
+
+VARIANT_TYPES = {
+    ResourceType.SOURCE_VARIANT,
+    ResourceType.FEATURE_VARIANT,
+    ResourceType.LABEL_VARIANT,
+    ResourceType.TRAINING_SET_VARIANT,
+}
+
+
+@dataclass
+class ResourceID:
+    type: ResourceType
+    name: str
+    variant: str = ""
+
+    def key(self) -> str:
+        return f"{self.type.value}/{self.name}/{self.variant}"
+
+    def __str__(self) -> str:
+        if self.variant:
+            return f"{self.name}.{self.variant}"
+        return self.name
+
+
+@dataclass
+class Resource:
+    """Base resource: subclasses add their properties; ``definition()``
+    returns the canonical dict used for equivalence hashing."""
+
+    name: str
+    description: str = ""
+    owner: str = ""
+    tags: list[str] = field(default_factory=list)
+    properties: dict[str, str] = field(default_factory=dict)
+    status: Status = Status.NO_STATUS
+    status_error: str = ""
+    created_at: float = field(default_factory=time.time)
+
+    rtype: ResourceType = ResourceType.USER  # overridden
+
+    def rid(self) -> ResourceID:
+        return ResourceID(self.rtype, self.name, getattr(self, "variant", ""))
+
+    def definition(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        for volatile in (
+            "status",
+            "status_error",
+            "created_at",
+            "tags",
+            "properties",
+            "description",
+        ):
+            d.pop(volatile, None)
+        return d
+
+    def equiv_hash(self) -> str:
+        blob = json.dumps(self.definition(), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    def needs_job(self) -> bool:
+        """Whether creation schedules an orchestration task (the
+        reference's needsJob wiring, metadata.go:169-199)."""
+        return False
+
+    def dependencies(self) -> list[ResourceID]:
+        return []
+
+
+@dataclass
+class User(Resource):
+    rtype: ResourceType = ResourceType.USER
+
+
+@dataclass
+class Model(Resource):
+    rtype: ResourceType = ResourceType.MODEL
+    features: list[tuple[str, str]] = field(default_factory=list)
+    trainingsets: list[tuple[str, str]] = field(default_factory=list)
+
+
+@dataclass
+class Entity(Resource):
+    rtype: ResourceType = ResourceType.ENTITY
+
+
+@dataclass
+class Provider(Resource):
+    rtype: ResourceType = ResourceType.PROVIDER
+    provider_type: str = ""      # e.g. MEMORY_ONLINE, SQLITE_OFFLINE, EMBEDDINGHUB_TPU
+    software: str = ""
+    team: str = ""
+    config: dict[str, Any] = field(default_factory=dict)
+
+    def definition(self) -> dict[str, Any]:
+        d = super().definition()
+        return d
+
+
+@dataclass
+class SourceVariant(Resource):
+    rtype: ResourceType = ResourceType.SOURCE_VARIANT
+    variant: str = "default"
+    provider: str = ""
+    # primary data: {"table": ...} | {"path": ...}; transformation:
+    # {"sql": "..."} or {"df": callable-name} with inputs
+    primary: dict[str, Any] | None = None
+    transformation: dict[str, Any] | None = None
+    inputs: list[tuple[str, str]] = field(default_factory=list)
+
+    def is_transformation(self) -> bool:
+        return self.transformation is not None
+
+    def needs_job(self) -> bool:
+        return True
+
+    def dependencies(self) -> list[ResourceID]:
+        return [
+            ResourceID(ResourceType.SOURCE_VARIANT, n, v) for n, v in self.inputs
+        ]
+
+    def definition(self) -> dict[str, Any]:
+        d = super().definition()
+        tf = d.get("transformation")
+        if tf and callable(tf.get("df")):
+            import inspect
+
+            try:
+                tf["df"] = inspect.getsource(tf["df"])
+            except OSError:
+                tf["df"] = repr(tf["df"])
+        return d
+
+
+@dataclass
+class FeatureVariant(Resource):
+    rtype: ResourceType = ResourceType.FEATURE_VARIANT
+    variant: str = "default"
+    source: tuple[str, str] = ("", "")
+    entity: str = ""
+    value_type: str = "float32"  # or "embedding"
+    entity_column: str = ""
+    value_column: str = ""
+    timestamp_column: str = ""
+    provider: str = ""           # online store provider
+    dims: int = 0                # embedding dims (value_type == embedding)
+    is_embedding: bool = False
+    on_demand_fn: Any = None     # client-side on-demand feature function
+
+    def needs_job(self) -> bool:
+        return self.on_demand_fn is None  # materialization task
+
+    def dependencies(self) -> list[ResourceID]:
+        if self.on_demand_fn is not None:
+            return []
+        return [ResourceID(ResourceType.SOURCE_VARIANT, *self.source)]
+
+    def definition(self) -> dict[str, Any]:
+        d = super().definition()
+        if callable(d.get("on_demand_fn")):
+            import inspect
+
+            try:
+                d["on_demand_fn"] = inspect.getsource(d["on_demand_fn"])
+            except OSError:
+                d["on_demand_fn"] = repr(d["on_demand_fn"])
+        return d
+
+
+@dataclass
+class LabelVariant(Resource):
+    rtype: ResourceType = ResourceType.LABEL_VARIANT
+    variant: str = "default"
+    source: tuple[str, str] = ("", "")
+    entity: str = ""
+    value_type: str = "float32"
+    entity_column: str = ""
+    value_column: str = ""
+    timestamp_column: str = ""
+
+    def needs_job(self) -> bool:
+        return False
+
+    def dependencies(self) -> list[ResourceID]:
+        return [ResourceID(ResourceType.SOURCE_VARIANT, *self.source)]
+
+
+@dataclass
+class TrainingSetVariant(Resource):
+    rtype: ResourceType = ResourceType.TRAINING_SET_VARIANT
+    variant: str = "default"
+    label: tuple[str, str] = ("", "")
+    features: list[tuple[str, str]] = field(default_factory=list)
+    provider: str = ""
+
+    def needs_job(self) -> bool:
+        return True
+
+    def dependencies(self) -> list[ResourceID]:
+        deps = [ResourceID(ResourceType.LABEL_VARIANT, *self.label)]
+        deps += [
+            ResourceID(ResourceType.FEATURE_VARIANT, n, v)
+            for n, v in self.features
+        ]
+        return deps

@@ -1,0 +1,272 @@
+"""Feature-store layer tests: registration -> apply -> orchestration ->
+serving, mirroring the reference's client/metadata/coordinator test
+strategy (SURVEY.md §4) with in-memory/local providers.
+"""
+
+import numpy as np
+import pytest
+
+import embeddinghub_tpu.featurestore as ff
+from embeddinghub_tpu.featurestore import fferr
+from embeddinghub_tpu.featurestore.metadata import MetadataStore, SqliteStorage
+from embeddinghub_tpu.featurestore.coordinator import Coordinator
+from embeddinghub_tpu.featurestore.providers.base import reset_provider_cache
+from embeddinghub_tpu.featurestore.resources import ResourceType, Status
+from embeddinghub_tpu.featurestore.scheduling import RunStatus, TaskDAG, TaskManager
+
+
+@pytest.fixture
+def client():
+    reset_provider_cache()
+    ff.global_registrar().reset()
+    return ff.Client()
+
+
+ROWS = [
+    {"user_id": "u1", "clicks": 10, "ts": 1},
+    {"user_id": "u2", "clicks": 20, "ts": 1},
+    {"user_id": "u1", "clicks": 15, "ts": 2},  # newer value for u1
+]
+
+
+def _register_basic(client):
+    reg = client.registrar
+    reg.register_user("alice")
+    reg.set_default_owner("alice")
+    reg.register_sqlite_offline("warehouse")
+    reg.register_memory_online("cache")
+    reg.register_entity("user")
+    reg.register_primary_data("events", provider="warehouse", location={"rows": ROWS})
+    reg.register_feature(
+        "clicks",
+        source=("events", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="clicks",
+        timestamp_column="ts",
+        provider="cache",
+    )
+
+
+def test_apply_and_serve_feature(client):
+    _register_basic(client)
+    client.apply()
+    assert client.get_status(ResourceType.FEATURE_VARIANT, "clicks", "default") == Status.READY
+    vals = client.features([("clicks", "default")], {"user": "u1"})
+    assert vals == [15]  # latest by timestamp
+    assert client.features(["clicks"], {"user": "u2"}) == [20]
+
+
+def test_missing_entity_value(client):
+    _register_basic(client)
+    client.apply()
+    with pytest.raises(fferr.EntityNotFoundError):
+        client.features(["clicks"], {"user": "nope"})
+
+
+def test_idempotent_apply_and_conflict(client):
+    _register_basic(client)
+    client.apply()
+    # identical re-registration: no-op
+    client.registrar.register_primary_data(
+        "events", provider="warehouse", location={"rows": ROWS}
+    )
+    client.apply()
+    # conflicting re-registration of the same variant: error
+    client.registrar.register_primary_data(
+        "events", provider="warehouse", location={"rows": [{"user_id": "x", "clicks": 1}]}
+    )
+    with pytest.raises(fferr.ResourceChangedError):
+        client.apply()
+
+
+def test_sql_transformation(client):
+    _register_basic(client)
+    reg = client.registrar
+
+    @reg.sql_transformation(name="doubled", provider="warehouse", inputs=[("events", "default")])
+    def doubled():
+        return "SELECT user_id, clicks * 2 AS clicks2, ts FROM {{ events.default }}"
+
+    reg.register_feature(
+        "clicks2",
+        source=("doubled", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="clicks2",
+        timestamp_column="ts",
+        provider="cache",
+    )
+    client.apply()
+    assert client.features(["clicks2"], {"user": "u1"}) == [30]
+
+
+def test_df_transformation(client):
+    _register_basic(client)
+    reg = client.registrar
+
+    @reg.df_transformation(name="squared", provider="warehouse", inputs=[("events", "default")])
+    def squared(events):
+        return [
+            {"user_id": r["user_id"], "sq": r["clicks"] ** 2, "ts": r["ts"]}
+            for r in events
+        ]
+
+    reg.register_feature(
+        "clicks_sq",
+        source=("squared", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="sq",
+        timestamp_column="ts",
+        provider="cache",
+    )
+    client.apply()
+    assert client.features(["clicks_sq"], {"user": "u2"}) == [400]
+
+
+def test_training_set(client):
+    _register_basic(client)
+    reg = client.registrar
+    reg.register_primary_data(
+        "purchases",
+        provider="warehouse",
+        location={
+            "rows": [
+                {"user_id": "u1", "bought": 1, "ts": 3},
+                {"user_id": "u2", "bought": 0, "ts": 3},
+            ]
+        },
+    )
+    reg.register_label(
+        "bought",
+        source=("purchases", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="bought",
+        timestamp_column="ts",
+    )
+    reg.register_training_set(
+        "purchase_model", label=("bought", "default"), features=[("clicks", "default")]
+    )
+    client.apply()
+    ds = client.training_set("purchase_model")
+    rows = {tuple(r.features()): r.label() for r in ds}
+    assert rows == {(15,): 1, (20,): 0}
+    # combinators
+    batches = list(client.training_set("purchase_model").repeat(2).batch(3))
+    assert sum(len(b) for b in batches) == 4
+
+
+def test_on_demand_feature(client):
+    reg = client.registrar
+
+    @reg.ondemand_feature(name="doubled_input")
+    def doubled_input(client_, params, entities):
+        return entities["x"] * 2
+
+    client.apply()
+    assert client.features(["doubled_input"], {"x": 21}) == [42]
+
+
+def test_embedding_feature_and_nearest(client):
+    rng = np.random.default_rng(0)
+    vecs = {f"item{i}": rng.standard_normal(16).tolist() for i in range(50)}
+    rows = [{"item_id": k, "vector": v} for k, v in vecs.items()]
+    reg = client.registrar
+    reg.register_sqlite_offline("warehouse")
+    reg.register_engine_vector_store("vectors")
+    reg.register_entity("item")
+    reg.register_primary_data("items", provider="warehouse", location={"rows": rows})
+    reg.register_embedding_feature(
+        "item_embedding",
+        source=("items", "default"),
+        entity="item",
+        entity_column="item_id",
+        value_column="vector",
+        dims=16,
+        provider="vectors",
+    )
+    client.apply()
+    # read back through the online surface
+    got = client.features(["item_embedding"], {"item": "item7"})[0]
+    np.testing.assert_allclose(got, vecs["item7"], rtol=1e-6)
+    # ANN through serving.Nearest -> engine vector store
+    nearest = client.nearest("item_embedding", "default", vecs["item3"], 1)
+    assert nearest == ["item3"]
+
+
+def test_failed_source_cancels_dependents(client):
+    reg = client.registrar
+    reg.register_sqlite_offline("warehouse")
+    reg.register_memory_online("cache")
+    reg.register_entity("user")
+    reg.register_primary_data("bad", provider="warehouse", location={"rows": []})
+    reg.register_feature(
+        "f",
+        source=("bad", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="v",
+        provider="cache",
+    )
+    client.apply()
+    assert client.get_status(ResourceType.SOURCE_VARIANT, "bad", "default") == Status.FAILED
+    assert client.get_status(ResourceType.FEATURE_VARIANT, "f", "default") == Status.FAILED
+
+
+def test_task_dag_topo_and_cycle():
+    dag = TaskDAG()
+    dag.add_dependency(3, 1)
+    dag.add_dependency(3, 2)
+    dag.add_dependency(2, 1)
+    order = dag.sorted_tasks()
+    assert order.index(1) < order.index(2) < order.index(3)
+    with pytest.raises(fferr.FFError):
+        dag.add_dependency(1, 3)
+
+
+def test_task_runs_recorded(client):
+    _register_basic(client)
+    client.apply()
+    runs = client.coordinator.tasks.all_runs()
+    assert len(runs) == 2  # source + materialize
+    assert all(r.status == RunStatus.READY for r in runs)
+    assert any("materialize" in client.coordinator.tasks.task(r.task_id).task_type for r in runs)
+
+
+def test_metadata_sqlite_persistence(tmp_path):
+    reset_provider_cache()
+    storage = SqliteStorage(str(tmp_path / "meta.db"))
+    md = MetadataStore(storage)
+    ff.global_registrar().reset()
+    client = ff.Client(metadata=md)
+    client.registrar.register_user("bob")
+    client.apply()
+
+    md2 = MetadataStore(SqliteStorage(str(tmp_path / "meta.db")))
+    users = md2.list_type(ResourceType.USER)
+    assert [u.name for u in users] == ["bob"]
+
+
+def test_delete_resource_guard(client):
+    _register_basic(client)
+    client.apply()
+    from embeddinghub_tpu.featurestore.resources import ResourceID
+
+    with pytest.raises(fferr.InvalidResourceError):
+        client.metadata.delete(
+            ResourceID(ResourceType.SOURCE_VARIANT, "events", "default")
+        )
+    client.metadata.delete(
+        ResourceID(ResourceType.FEATURE_VARIANT, "clicks", "default")
+    )
+    client.metadata.delete(
+        ResourceID(ResourceType.SOURCE_VARIANT, "events", "default")
+    )
+    assert (
+        client.metadata.maybe_get(
+            ResourceID(ResourceType.SOURCE_VARIANT, "events", "default")
+        )
+        is None
+    )
