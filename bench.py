@@ -63,29 +63,52 @@ def main() -> None:
         [len(set(got[i]) & set(oracle[i])) / K for i in range(len(qs))]
     )
 
-    # ---- CPU brute-force baseline (numpy sgemm + argpartition) ----
-    cpu_b = 256
-    cq = queries[1][:cpu_b] / np.linalg.norm(
-        queries[1][:cpu_b], axis=1, keepdims=True
-    )
-    t0 = time.perf_counter()
-    reps = 2
-    for _ in range(reps):
-        sims = cq @ xn.T
-        np.argpartition(-sims, K, axis=1)[:, :K]
-    cpu_s = (time.perf_counter() - t0) / reps
-    cpu_qps = cpu_b / cpu_s
+    # ---- CPU baseline: native single-thread HNSW (the reference
+    # engine's class of search: hnswlib-style graph walk per query) at
+    # an efSearch tuned to ~the same recall bar; falls back to numpy
+    # brute force when no toolchain ----
+    cpu_qps, base_kind = _cpu_baseline(vecs, queries[1][:256], recall_floor=0.95)
 
     result = {
         "metric": (
             f"batched kNN QPS/chip (100K x {D} cosine, B={B}, k={K}, "
-            f"recall@10={recall:.3f}, build={build_s:.1f}s, tunnel-IO-bound)"
+            f"recall@10={recall:.3f}, build={build_s:.1f}s, "
+            f"baseline={base_kind}, tunnel-IO-bound)"
         ),
         "value": round(tpu_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(tpu_qps / cpu_qps, 2),
     }
     print(json.dumps(result))
+
+
+def _cpu_baseline(vecs, queries, recall_floor: float):
+    """QPS of the CPU reference-class engine at >= recall_floor."""
+    try:
+        from embeddinghub_tpu.native import CpuHnsw
+
+        h = CpuHnsw(vecs.shape[1], m=16, ef_construction=200, metric="cosine")
+        h.add(vecs)
+        xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        oracle = np.argsort(-(qn @ xn.T), axis=1)[:, :K]
+        for ef in (40, 80, 160, 320, 640):
+            t0 = time.perf_counter()
+            _, ids = h.search(queries, K, ef=ef)
+            dt = time.perf_counter() - t0
+            rec = np.mean(
+                [len(set(ids[i]) & set(oracle[i])) / K for i in range(len(queries))]
+            )
+            if rec >= recall_floor:
+                return len(queries) / dt, f"cpu-hnsw(ef={ef},recall={rec:.3f})"
+        return len(queries) / dt, f"cpu-hnsw(ef=640,recall={rec:.3f})"
+    except Exception:
+        xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        t0 = time.perf_counter()
+        sims = qn @ xn.T
+        np.argpartition(-sims, K, axis=1)[:, :K]
+        return len(queries) / (time.perf_counter() - t0), "cpu-bruteforce"
 
 
 if __name__ == "__main__":
