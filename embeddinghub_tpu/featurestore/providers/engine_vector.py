@@ -48,6 +48,9 @@ class _LocalVectorTable(base.VectorStoreTable):
     def nearest(self, feature: str, variant: str, vector, k: int) -> list[str]:
         return self._version.nearest(k, vector=np.asarray(vector, np.float32))
 
+    def entities(self) -> list[str]:
+        return [key for key, _ in self._version.iterator()]
+
 
 class EngineVectorStore(base.VectorStore):
     """In-process TPU engine vector store (provider type

@@ -35,6 +35,10 @@ class MemoryOnlineTable(base.OnlineStoreTable):
         except KeyError:
             raise fferr.EntityNotFoundError("", "", str(entity))
 
+    def entities(self) -> list[str]:
+        with self._lock:
+            return list(self._d)
+
 
 class MemoryOnlineStore(base.OnlineStore):
     ptype = "MEMORY_ONLINE"

@@ -75,6 +75,29 @@ class ServingClient:
     ) -> list[list[Any]]:
         return [self.features(features, row) for row in entity_rows]
 
+    def batch_feature_entities(
+        self, features: list[tuple[str, str] | str]
+    ) -> Iterator[tuple[str, list[Any]]]:
+        """All entities of the first feature's table with every feature's
+        value (the BatchFeatureServe scan, serving.proto:23)."""
+        resolved = [self._feature(*_split_ref(f)) for f in features]
+        if not resolved:
+            return
+        first_table = self._table(resolved[0])
+        entities = getattr(first_table, "entities", None)
+        if entities is None:
+            raise fferr.InvalidResourceError(
+                "provider table does not support entity enumeration"
+            )
+        for entity in entities():
+            vals = []
+            for feat in resolved:
+                try:
+                    vals.append(self._table(feat).get(entity))
+                except fferr.FFError:
+                    vals.append(None)
+            yield entity, vals
+
     def nearest(self, name: str, variant: str, vector, k: int) -> list[str]:
         """k nearest entity keys by embedding feature (serving.go:744)."""
         feat = self._feature(name, variant)

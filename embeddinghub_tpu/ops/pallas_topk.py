@@ -1,0 +1,150 @@
+"""Pallas fused distance + top-k kernel.
+
+The speed-of-light form of the engine's hot loop: stream index chunks
+HBM -> VMEM, compute the score matmul on the MXU, and keep the running
+top-k entirely in VMEM scratch — the ``[B, N]`` score matrix never
+exists in HBM (the pure-XLA paths materialize each chunk's scores).
+
+Mosaic has no ``top_k`` lowering, so selection is K rounds of masked
+row-argmin over a combined ``[B, C + K]`` VMEM buffer (scores of the
+current chunk ++ the running best).  Each round costs one VPU pass;
+K << C keeps the MXU matmul dominant.
+
+Grid: ``(B_blocks, n_chunks)`` — chunks iterate innermost, so the
+scratch carries the running top-k across a full sweep per query block
+and resets at chunk 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = float("inf")
+
+
+def _kernel(q_ref, xt_ref, sq_ref, valid_ref, od_ref, oi_ref, comb, best_d, best_i, *, k, metric, n_chunks, chunk):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        best_d[:] = jnp.full_like(best_d, INF)
+        best_i[:] = jnp.full_like(best_i, -1)
+
+    # --- score this chunk on the MXU (HIGHEST: keep f32 operand bits;
+    # the default truncates operands to bf16) ---
+    dots = jnp.dot(
+        q_ref[:],
+        xt_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, C]
+    if metric == "l2":
+        score = sq_ref[0, :].reshape(1, -1) - 2.0 * dots
+    else:
+        score = -dots
+    score = jnp.where(valid_ref[0, :].reshape(1, -1) != 0, score, INF)
+
+    b = score.shape[0]
+    base = ci * chunk
+
+    # --- combined buffer: [B, C + K] = chunk scores ++ running best ---
+    comb[:, :chunk] = score
+    comb[:, chunk:] = best_d[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk + k), 1)
+
+    # K rounds of masked argmin extract the new running top-k.
+    for j in range(k):
+        m = jnp.min(comb[:], axis=1)
+        a = jnp.argmin(comb[:], axis=1).astype(jnp.int32)
+        # id: chunk position -> global row; best position -> stored id
+        from_chunk = a < chunk
+        # one-hot select of the stored id (no gather lowering in Mosaic)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+        sel = (kcol == (a - chunk)[:, None]) & ~from_chunk[:, None]
+        prev_ids = jnp.sum(jnp.where(sel, best_i[:], 0), axis=1)
+        new_id = jnp.where(from_chunk, base + a, prev_ids)
+        new_id = jnp.where(jnp.isfinite(m), new_id, -1)
+        od_ref[:, j] = m
+        oi_ref[:, j] = new_id
+        comb[:] = jnp.where(col == a[:, None], INF, comb[:])
+
+    best_d[:] = od_ref[:]
+    best_i[:] = oi_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "block_b")
+)
+def fused_topk_search(
+    q: jax.Array,      # [B, D] f32
+    x: jax.Array,      # [cap, D] f32
+    valid: jax.Array,  # [cap] bool
+    x_sq: jax.Array,   # [cap] f32
+    *,
+    k: int = 16,
+    metric: str = "l2",
+    chunk: int = 2048,
+    block_b: int = 256,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN via the fused Pallas kernel.  ``cap`` must be a chunk
+    multiple and ``B`` a block multiple (callers pad)."""
+    b, d = q.shape
+    cap = x.shape[0]
+    if cap % chunk or b % block_b:
+        raise ValueError(f"shape not aligned: cap={cap} chunk={chunk} B={b}")
+    n_chunks = cap // chunk
+    grid = (b // block_b, n_chunks)
+
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+
+    kernel = functools.partial(
+        _kernel, k=k, metric=metric, n_chunks=n_chunks, chunk=chunk
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda bi, ci: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, chunk), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, k), lambda bi, ci: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, k), lambda bi, ci: (bi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, chunk + k), jnp.float32),
+            pltpu.VMEM((block_b, k), jnp.float32),
+            pltpu.VMEM((block_b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * cap * d + 2 * k * b * cap,
+            bytes_accessed=cap * d * 4 + b * d * 4 + b * k * 8,
+            transcendentals=0,
+        ),
+    )(
+        q,
+        x.T,  # [D, cap] so each chunk block is [D, C]
+        x_sq.reshape(1, -1),
+        valid.astype(jnp.int32).reshape(1, -1),
+    )
+
+    if metric == "l2":
+        qsq = jnp.einsum("bd,bd->b", q, q)
+        out_d = jnp.maximum(out_d + qsq[:, None], 0.0)
+    else:
+        out_d = 1.0 + out_d  # score was -dot
+    out_d = jnp.where(out_i >= 0, out_d, INF)
+    return out_d, out_i

@@ -1,0 +1,247 @@
+"""Serving gRPC, dashboard HTTP, CLI, metrics, search, health tests."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import embeddinghub_tpu.featurestore as ff
+from embeddinghub_tpu.featurestore.dashboard import DashboardServer
+from embeddinghub_tpu.featurestore.logging import Logger, new_request_id
+from embeddinghub_tpu.featurestore.metrics import MetricsHandler
+from embeddinghub_tpu.featurestore.providers.base import reset_provider_cache
+from embeddinghub_tpu.featurestore.search import SearchIndex
+
+
+ROWS = [
+    {"user_id": "u1", "clicks": 10, "vec": [1.0, 0.0], "ts": 1},
+    {"user_id": "u2", "clicks": 20, "vec": [0.0, 1.0], "ts": 1},
+]
+
+
+@pytest.fixture
+def applied_client():
+    reset_provider_cache()
+    ff.global_registrar().reset()
+    client = ff.Client()
+    reg = client.registrar
+    reg.register_sqlite_offline("wh")
+    reg.register_memory_online("cache")
+    reg.register_engine_vector_store("vec")
+    reg.register_entity("user")
+    reg.register_primary_data("events", provider="wh", location={"rows": ROWS})
+    reg.register_feature(
+        "clicks",
+        source=("events", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="clicks",
+        provider="cache",
+    )
+    reg.register_embedding_feature(
+        "uvec",
+        source=("events", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="vec",
+        dims=2,
+        provider="vec",
+    )
+    reg.register_label(
+        "clicked",
+        source=("events", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="clicks",
+    )
+    reg.register_training_set(
+        "model", label=("clicked", "default"), features=[("clicks", "default")]
+    )
+    client.apply()
+    return client
+
+
+@pytest.fixture
+def grpc_serving(applied_client):
+    import grpc
+
+    from embeddinghub_tpu.featurestore.serving_grpc import build_server
+    from embeddinghub_tpu.featurestore.proto import serving_pb2 as pb
+    from embeddinghub_tpu.featurestore.proto import serving_pb2_grpc as pbg
+
+    server = build_server("127.0.0.1:0", applied_client)
+    port = server.add_insecure_port("127.0.0.1:0")
+    server.start()
+    channel = grpc.insecure_channel(f"127.0.0.1:{port}")
+    stub = pbg.FeatureStub(channel)
+    yield stub, pb
+    channel.close()
+    server.stop(0)
+
+
+def test_grpc_feature_serve(grpc_serving):
+    stub, pb = grpc_serving
+    req = pb.FeatureServeRequest()
+    f = req.features.add()
+    f.name, f.version = "clicks", "default"
+    e = req.entities.add()
+    e.name = "user"
+    e.values.append("u2")
+    row = stub.FeatureServe(req)
+    assert row.value_lists[0].values[0].int64_value == 20
+
+
+def test_grpc_nearest(grpc_serving):
+    stub, pb = grpc_serving
+    req = pb.NearestRequest()
+    req.id.name, req.id.version = "uvec", "default"
+    req.vector.value[:] = [0.9, 0.1]
+    req.k = 1
+    resp = stub.Nearest(req)
+    assert list(resp.entities) == ["u1"]
+
+
+def test_grpc_training_data(grpc_serving):
+    stub, pb = grpc_serving
+    req = pb.TrainingDataRequest()
+    req.id.name, req.id.version = "model", "default"
+    rows = []
+    for batch in stub.TrainingData(req):
+        rows.extend(batch.rows)
+    got = {
+        (r.features[0].int64_value, r.label.int64_value) for r in rows
+    }
+    assert got == {(10, 10), (20, 20)}
+
+
+def test_grpc_source_data(grpc_serving):
+    stub, pb = grpc_serving
+    req = pb.SourceDataRequest()
+    req.id.name, req.id.version = "events", "default"
+    total = sum(len(b.rows) for b in stub.SourceData(req))
+    assert total == 2
+
+
+def test_grpc_train_test_split(grpc_serving):
+    stub, pb = grpc_serving
+
+    def reqs():
+        init = pb.TrainTestSplitRequest()
+        init.id.name, init.id.version = "model", "default"
+        init.request_type = pb.RequestType.INITIALIZE
+        init.test_size = 0.5
+        yield init
+        pull = pb.TrainTestSplitRequest()
+        pull.id.name = "model"
+        pull.request_type = pb.RequestType.TRAINING
+        pull.batch_size = 10
+        yield pull
+        pull2 = pb.TrainTestSplitRequest()
+        pull2.id.name = "model"
+        pull2.request_type = pb.RequestType.TEST
+        pull2.batch_size = 10
+        yield pull2
+
+    resps = list(stub.TrainTestSplit(reqs()))
+    assert resps[0].initialized
+    n_train = len(resps[1].data.rows)
+    n_test = len(resps[2].data.rows)
+    assert n_train + n_test == 2
+
+
+def test_grpc_batch_feature_serve(grpc_serving):
+    stub, pb = grpc_serving
+    req = pb.BatchFeatureServeRequest()
+    f = req.features.add()
+    f.name, f.version = "clicks", "default"
+    rows = []
+    for batch in stub.BatchFeatureServe(req):
+        rows.extend(batch.rows)
+    got = {r.entity.str_value: r.features[0].int64_value for r in rows}
+    assert got == {"u1": 10, "u2": 20}
+
+
+def test_dashboard_endpoints(applied_client):
+    dash = DashboardServer(applied_client.metadata, applied_client.coordinator, port=0)
+    dash.start()
+    base = f"http://127.0.0.1:{dash.port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=10) as r:
+            return r.read().decode()
+
+    features = json.loads(get("/data/features"))
+    assert {f["name"] for f in features} == {"clicks", "uvec"}
+    variants = json.loads(get("/data/features/clicks"))
+    assert variants[0]["status"] == "READY"
+    tasks = json.loads(get("/tasks"))
+    assert all(t["status"] == "READY" for t in tasks)
+    health = json.loads(get("/health"))
+    assert health["wh"]["healthy"]
+    hits = json.loads(get("/search?q=clicks"))
+    assert any(h["name"] == "clicks" for h in hits)
+    metrics = get("/metrics")
+    assert "embeddinghub_tpu" in metrics
+    dash.stop()
+
+
+def test_metrics_render():
+    m = MetricsHandler("testns")
+    m.feature_served("f", "v", 0.003)
+    m.feature_served("f", "v", 0.2)
+    m.feature_error("f", "v")
+    m.training_rows("ts", "v", 100)
+    text = m.render()
+    assert 'testns_feature_serve_latency_seconds_count{feature="f",variant="v"} 2' in text
+    assert 'testns_feature_serve_errors_total{feature="f",variant="v"} 1' in text
+    assert 'testns_training_rows_served_total{trainingset="ts",variant="v"} 100' in text
+
+
+def test_search_index(applied_client):
+    idx = SearchIndex(applied_client.metadata)
+    hits = idx.search("uvec")
+    assert hits and hits[0]["name"] == "uvec"
+    assert idx.search("zzznope") == []
+
+
+def test_logger_redaction(capsys):
+    log = Logger("test-logger").with_fields(password="hunter2")
+    new_request_id()
+    log.info("hello", token="abc")
+    err = capsys.readouterr().err
+    rec = json.loads(err.strip().splitlines()[-1])
+    assert rec["password"] == "<redacted>" and rec["token"] == "<redacted>"
+    assert rec["request_id"]
+
+
+def test_cli_apply_list_get(tmp_path, capsys):
+    from embeddinghub_tpu.featurestore import cli
+
+    reset_provider_cache()
+    defs = tmp_path / "defs.py"
+    defs.write_text(
+        """
+import embeddinghub_tpu.featurestore as ff
+reg = ff.global_registrar()
+reg.register_sqlite_offline("wh")
+reg.register_memory_online("cache")
+reg.register_entity("user")
+reg.register_primary_data("events", provider="wh", location={"rows": [
+    {"user_id": "u1", "clicks": 7}]})
+reg.register_feature("clicks", source=("events", "default"), entity="user",
+                     entity_column="user_id", value_column="clicks",
+                     provider="cache")
+"""
+    )
+    db = str(tmp_path / "state.db")
+    assert cli.main(["--db", db, "apply", str(defs)]) == 0
+    out = capsys.readouterr().out
+    assert "FEATURE_VARIANT/clicks/default: READY" in out
+    assert cli.main(["--db", db, "list", "feature"]) == 0
+    assert "clicks" in capsys.readouterr().out
+    assert cli.main(["--db", db, "get", "feature", "clicks", "default"]) == 0
+    assert "status: READY" in capsys.readouterr().out
+    assert cli.main(["--db", db, "search", "clicks"]) == 0
+    assert "clicks" in capsys.readouterr().out
