@@ -235,6 +235,22 @@ class FlatIndex(Index):
                 # device-side slice so only b*k int32 cross the wire
                 i = np.asarray(i[:b, :k]).astype(np.int64)
                 return np.zeros((b, k), np.float32), i
+        elif jax.default_backend() != "cpu" and self._cap % 2048 == 0:
+            # exact on accelerator: fused Pallas kernel (running top-k
+            # lives in VMEM; no [B, N] matrix in HBM)
+            from embeddinghub_tpu.ops import pallas_topk
+
+            pb2 = queries.shape[0]
+            d, i = pallas_topk.fused_topk_search(
+                jnp.asarray(queries),
+                self._dx,
+                self._dvalid,
+                self._dx_sq,
+                k=kk,
+                metric=self.metric,
+                chunk=2048,
+                block_b=min(pb2, 256),
+            )
         else:
             chunk = min(self._cap, self._chunk_target)
             d, i = topk_ops.chunked_topk_search(

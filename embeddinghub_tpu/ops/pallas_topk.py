@@ -57,29 +57,36 @@ def _kernel(q_ref, xt_ref, sq_ref, valid_ref, od_ref, oi_ref, comb, best_d, best
     comb[:, chunk:] = best_d[:]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk + k), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
 
-    # K rounds of masked argmin extract the new running top-k.
-    for j in range(k):
+    # K rounds of masked argmin extract the new running top-k.  A
+    # fori_loop keeps the Mosaic program small (a Python unroll of K
+    # rounds over the [B, C+K] buffer explodes compile time).
+    def round_body(j, _):
         m = jnp.min(comb[:], axis=1)
         a = jnp.argmin(comb[:], axis=1).astype(jnp.int32)
         # id: chunk position -> global row; best position -> stored id
         from_chunk = a < chunk
         # one-hot select of the stored id (no gather lowering in Mosaic)
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
         sel = (kcol == (a - chunk)[:, None]) & ~from_chunk[:, None]
         prev_ids = jnp.sum(jnp.where(sel, best_i[:], 0), axis=1)
         new_id = jnp.where(from_chunk, base + a, prev_ids)
         new_id = jnp.where(jnp.isfinite(m), new_id, -1)
-        od_ref[:, j] = m
-        oi_ref[:, j] = new_id
+        # full-width one-hot merge: Mosaic has no dynamic-column store
+        hit = kcol == j
+        od_ref[:] = jnp.where(hit, m[:, None], od_ref[:])
+        oi_ref[:] = jnp.where(hit, new_id[:, None], oi_ref[:])
         comb[:] = jnp.where(col == a[:, None], INF, comb[:])
+        return 0
+
+    jax.lax.fori_loop(0, k, round_body, 0)
 
     best_d[:] = od_ref[:]
     best_i[:] = oi_ref[:]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk", "block_b")
+    jax.jit, static_argnames=("k", "metric", "chunk", "block_b", "interpret")
 )
 def fused_topk_search(
     q: jax.Array,      # [B, D] f32
@@ -91,6 +98,7 @@ def fused_topk_search(
     metric: str = "l2",
     chunk: int = 2048,
     block_b: int = 256,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN via the fused Pallas kernel.  ``cap`` must be a chunk
     multiple and ``B`` a block multiple (callers pad)."""
@@ -134,6 +142,7 @@ def fused_topk_search(
             bytes_accessed=cap * d * 4 + b * d * 4 + b * k * 8,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(
         q,
         x.T,  # [D, cap] so each chunk block is [D, C]

@@ -1,0 +1,85 @@
+"""Pallas fused top-k kernel — interpreter-mode correctness on CPU.
+
+(The compiled path is exercised on real TPU by bench.py and the flat
+index's accelerator branch; interpret mode validates the kernel logic
+in CI without hardware.)
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from embeddinghub_tpu.ops.pallas_topk import fused_topk_search
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_fused_matches_oracle(rng, metric):
+    n, d, b, k = 512, 32, 16, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[::7] = False
+    xsq = (x * x).sum(1)
+    dist, idx = fused_topk_search(
+        jnp.asarray(q),
+        jnp.asarray(x),
+        jnp.asarray(valid),
+        jnp.asarray(xsq),
+        k=k,
+        metric=metric,
+        chunk=128,
+        block_b=16,
+        interpret=True,
+    )
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    if metric == "l2":
+        ref = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    else:
+        ref = 1.0 - q @ x.T
+    ref[:, ~valid] = np.inf
+    oracle = np.argsort(ref, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(
+        dist, np.take_along_axis(ref, oracle, axis=1), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.take_along_axis(ref, idx, axis=1), dist, rtol=1e-3, atol=1e-3
+    )
+    assert not np.isin(idx, np.flatnonzero(~valid)).any()
+
+
+def test_fused_k_exceeds_live(rng):
+    n, d = 128, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.zeros(n, bool)
+    valid[:3] = True
+    dist, idx = fused_topk_search(
+        jnp.asarray(x[:8]),
+        jnp.asarray(x),
+        jnp.asarray(valid),
+        jnp.asarray((x * x).sum(1)),
+        k=8,
+        metric="l2",
+        chunk=128,
+        block_b=8,
+        interpret=True,
+    )
+    dist = np.asarray(dist)
+    idx = np.asarray(idx)
+    assert np.isfinite(dist[:, :3]).all()
+    assert (idx[:, 3:] == -1).all()
+
+
+def test_fused_shape_validation(rng):
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    with pytest.raises(ValueError):
+        fused_topk_search(
+            jnp.asarray(x[:8]),
+            jnp.asarray(x),
+            jnp.ones(100, bool),
+            jnp.zeros(100, jnp.float32),
+            k=4,
+            chunk=64,
+            block_b=8,
+            interpret=True,
+        )
