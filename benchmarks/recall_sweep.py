@@ -1,0 +1,175 @@
+"""Recall/QPS parity sweep (BASELINE.md configs).
+
+Engines:
+  * flat   — exact TPU scan (recall 1.0 reference point)
+  * approx — bf16 + approx_max_k + rerank fast path
+  * hnsw   — array-form TPU HNSW at (M, efConstruction), efSearch sweep
+  * cpu    — native single-thread CPU HNSW (reference-class baseline)
+
+Datasets: ann-benchmarks-style files when present (``--data sift.npz``
+with arrays train/test/neighbors), else synthetic gaussian or clustered
+data.  Prints one JSON line per (engine, ef) point.
+
+Usage:
+  python benchmarks/recall_sweep.py --n 100000 --dims 128 --metric l2 \
+      --engines flat,approx,cpu --efs 10,50,100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def load_data(args):
+    if args.data and os.path.exists(args.data):
+        z = np.load(args.data)
+        train, test = z["train"].astype(np.float32), z["test"].astype(np.float32)
+        gt = z["neighbors"][:, : args.k] if "neighbors" in z else None
+        return train, test, gt
+    rng = np.random.default_rng(0)
+    if args.clustered:
+        centers = rng.standard_normal((64, args.dims)) * 4
+        assign = rng.integers(0, 64, size=args.n)
+        train = centers[assign] + rng.standard_normal((args.n, args.dims))
+        test = centers[rng.integers(0, 64, size=args.nq)] + rng.standard_normal(
+            (args.nq, args.dims)
+        )
+    else:
+        train = rng.standard_normal((args.n, args.dims))
+        test = rng.standard_normal((args.nq, args.dims))
+    return train.astype(np.float32), test.astype(np.float32), None
+
+
+def ground_truth(train, test, k, metric):
+    if metric == "l2":
+        d = (
+            -2 * test @ train.T
+            + (train * train).sum(1)[None, :]
+            + (test * test).sum(1)[:, None]
+        )
+    else:
+        ta = train / np.linalg.norm(train, axis=1, keepdims=True)
+        qa = test / np.linalg.norm(test, axis=1, keepdims=True)
+        d = 1 - qa @ ta.T
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def recall(ids, gt, k):
+    return float(
+        np.mean([len(set(ids[i, :k]) & set(gt[i, :k])) / k for i in range(len(gt))])
+    )
+
+
+def report(**kv):
+    print(json.dumps(kv), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--nq", type=int, default=1000)
+    ap.add_argument("--dims", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--metric", default="l2", choices=["l2", "cosine"])
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--efc", type=int, default=200)
+    ap.add_argument("--efs", default="10,50,100,200")
+    ap.add_argument("--engines", default="flat,approx,cpu")
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--clustered", action="store_true")
+    args = ap.parse_args()
+
+    train, test, gt = load_data(args)
+    n, dims = train.shape
+    if gt is None:
+        gt = ground_truth(train, test, args.k, args.metric)
+    engines = args.engines.split(",")
+    efs = [int(e) for e in args.efs.split(",")]
+
+    if "flat" in engines or "approx" in engines:
+        from embeddinghub_tpu.index.flat import FlatIndex
+
+        t0 = time.perf_counter()
+        flat = FlatIndex(dims, metric=args.metric, capacity=n)
+        flat.add(np.arange(n), train)
+        flat._sync()
+        build = time.perf_counter() - t0
+        for mode in ("exact", "approx"):
+            if ("flat" if mode == "exact" else "approx") not in engines:
+                continue
+            flat.search(test[:8], args.k, mode=mode)  # warm
+            t0 = time.perf_counter()
+            _, ids = flat.search(test, args.k, mode=mode)
+            dt = time.perf_counter() - t0
+            report(
+                engine=f"flat-{mode}",
+                n=n,
+                dims=dims,
+                metric=args.metric,
+                build_s=round(build, 2),
+                recall=round(recall(ids, gt, args.k), 4),
+                qps=round(len(test) / dt, 1),
+            )
+
+    if "hnsw" in engines:
+        from embeddinghub_tpu.index.hnsw import HNSWIndex
+
+        t0 = time.perf_counter()
+        idx = HNSWIndex(dims, metric=args.metric, m=args.m, ef_construction=args.efc)
+        idx.add(np.arange(n), train)
+        build = time.perf_counter() - t0
+        for ef in efs:
+            idx.search(test[:8], args.k, ef=ef)  # warm/compile
+            t0 = time.perf_counter()
+            _, ids = idx.search(test, args.k, ef=ef)
+            dt = time.perf_counter() - t0
+            report(
+                engine="hnsw-tpu",
+                n=n,
+                dims=dims,
+                m=args.m,
+                efc=args.efc,
+                ef=ef,
+                build_s=round(build, 2),
+                recall=round(recall(ids, gt, args.k), 4),
+                qps=round(len(test) / dt, 1),
+            )
+
+    if "cpu" in engines:
+        from embeddinghub_tpu.native import CpuHnsw, load
+
+        if load() is None:
+            report(engine="cpu-hnsw", error="native toolchain unavailable")
+        else:
+            t0 = time.perf_counter()
+            h = CpuHnsw(dims, m=args.m, ef_construction=args.efc, metric=args.metric)
+            h.add(train)
+            build = time.perf_counter() - t0
+            for ef in efs:
+                t0 = time.perf_counter()
+                _, ids = h.search(test, args.k, ef=ef)
+                dt = time.perf_counter() - t0
+                report(
+                    engine="cpu-hnsw",
+                    n=n,
+                    dims=dims,
+                    m=args.m,
+                    efc=args.efc,
+                    ef=ef,
+                    build_s=round(build, 2),
+                    recall=round(recall(ids, gt, args.k), 4),
+                    qps=round(len(test) / dt, 1),
+                )
+
+
+if __name__ == "__main__":
+    main()
