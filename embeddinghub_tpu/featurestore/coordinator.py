@@ -152,6 +152,9 @@ class Coordinator:
                 run.log(f"failed: {e}")
                 self.tasks.set_run_status(run.run_id, RunStatus.FAILED, str(e))
                 self.metadata.set_status(task.target, Status.FAILED, str(e))
+                from embeddinghub_tpu.featurestore.notifications import NOTIFIER
+
+                NOTIFIER.task_run(task.name, run.run_id, "FAILED", str(e))
                 return True
             run.log("ready")
             self.tasks.set_run_status(run.run_id, RunStatus.READY)

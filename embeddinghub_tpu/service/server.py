@@ -208,9 +208,9 @@ def build_server(
 ) -> tuple[grpc.Server, EmbeddingHubService]:
     config = config or get_config()
     store = (
-        EmbeddingHub.load_or_create(data_dir)
+        EmbeddingHub.load_or_create(data_dir, engine=config.engine)
         if data_dir
-        else EmbeddingHub.in_memory()
+        else EmbeddingHub.in_memory(engine=config.engine)
     )
     service = EmbeddingHubService(store, config)
     server = grpc.server(cf.ThreadPoolExecutor(max_workers=max_workers))

@@ -25,8 +25,20 @@ from embeddinghub_tpu.store.space import DEFAULT_VERSION, Space
 
 
 class EmbeddingHub:
-    def __init__(self, base_path: str | Path | None = None):
+    """``engine`` selects the default index implementation for new
+    spaces: ``"flat"`` (exact single-chip), ``"sharded"`` (row-sharded
+    over a device mesh with ICI top-k merge), or ``"hnsw"``
+    (array-form graph, hnswlib-parity)."""
+
+    def __init__(
+        self,
+        base_path: str | Path | None = None,
+        engine: str = "flat",
+        mesh=None,
+    ):
         self.base_path = Path(base_path) if base_path is not None else None
+        self.engine = engine
+        self.mesh = mesh
         self._spaces: dict[str, Space] = {}
         self._lock = threading.RLock()
         if self.base_path is not None:
@@ -34,12 +46,33 @@ class EmbeddingHub:
             self._load_manifest()
 
     @classmethod
-    def load_or_create(cls, path: str | Path) -> "EmbeddingHub":
-        return cls(path)
+    def load_or_create(cls, path: str | Path, **kw) -> "EmbeddingHub":
+        return cls(path, **kw)
 
     @classmethod
-    def in_memory(cls) -> "EmbeddingHub":
-        return cls(None)
+    def in_memory(cls, **kw) -> "EmbeddingHub":
+        return cls(None, **kw)
+
+    def _make_index(self, dims: int, metric: str):
+        if self.engine == "flat":
+            return None  # Version defaults to FlatIndex
+        if self.engine == "sharded":
+            from embeddinghub_tpu.parallel.sharded_flat import ShardedFlatIndex
+
+            return ShardedFlatIndex(dims, metric=metric, mesh=self.mesh)
+        if self.engine == "hnsw":
+            from embeddinghub_tpu.index.hnsw import HNSWIndex
+            from embeddinghub_tpu.utils.config import get_config
+
+            cfg = get_config()
+            return HNSWIndex(
+                dims,
+                metric=metric,
+                m=cfg.hnsw_m,
+                ef_construction=cfg.hnsw_ef_construction,
+                ef_search=cfg.hnsw_ef_search,
+            )
+        raise ValueError(f"unknown engine {self.engine!r}")
 
     # ----------------------------------------------------------------- spaces
 
@@ -54,7 +87,9 @@ class EmbeddingHub:
                 return self._spaces[name]
             path = self.base_path / name if self.base_path is not None else None
             space = Space(name, path)
-            space.create_version(DEFAULT_VERSION, dims, metric)
+            space.create_version(
+                DEFAULT_VERSION, dims, metric, index=self._make_index(dims, metric)
+            )
             self._spaces[name] = space
             self._save_manifest()
             return space

@@ -130,6 +130,12 @@ def _index_registry() -> dict:
         registry["IVFIndex"] = IVFIndex
     except ImportError:
         pass
+    try:
+        from embeddinghub_tpu.parallel.sharded_flat import ShardedFlatIndex
+
+        registry["ShardedFlatIndex"] = ShardedFlatIndex
+    except ImportError:
+        pass
     return registry
 
 

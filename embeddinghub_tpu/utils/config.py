@@ -38,6 +38,7 @@ class Config:
     data_dir: str = "embedding_store.dat"
 
     # Engine knobs
+    engine: str = "flat"                # "flat" | "sharded" | "hnsw"
     default_metric: str = "l2"          # "l2" | "cosine" | "ip"
     compute_dtype: str = "float32"      # matmul input dtype on device
     query_batch_window_ms: float = 2.0  # server-side batching window
@@ -59,6 +60,7 @@ class Config:
             host=_env("EMBEDDINGHUB_HOST", "0.0.0.0"),
             port=_env_int("EMBEDDINGHUB_PORT", 7462),
             data_dir=_env("EMBEDDINGHUB_DATA_DIR", "embedding_store.dat"),
+            engine=_env("EMBEDDINGHUB_ENGINE", "flat"),
             default_metric=_env("EMBEDDINGHUB_METRIC", "l2"),
             compute_dtype=_env("EMBEDDINGHUB_COMPUTE_DTYPE", "float32"),
             query_batch_window_ms=float(_env("EMBEDDINGHUB_BATCH_WINDOW_MS", "2.0")),
