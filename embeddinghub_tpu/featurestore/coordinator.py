@@ -84,18 +84,55 @@ class Coordinator:
 
     def start(self, poll_interval_s: float = TASK_POLL_INTERVAL_S) -> None:
         """Background poll loop (daemon thread per unfinished run, like
-        the reference's goroutine-per-run)."""
+        the reference's goroutine-per-run); reconciles stuck runs every
+        ~minute (the reference's SyncUnfinishedRuns, scheduler.go:55-60)."""
         if self._thread is not None:
             return
         self._stop.clear()
 
         def loop():
+            ticks = 0
             while not self._stop.is_set():
                 self.run_pending_sync()
+                ticks += 1
+                if ticks % max(1, int(60 / max(poll_interval_s, 0.01))) == 0:
+                    self.reconcile()
                 self._stop.wait(poll_interval_s)
 
         self._thread = threading.Thread(target=loop, name="coordinator", daemon=True)
         self._thread.start()
+
+    def reconcile(self, stale_after_s: float = 300.0) -> int:
+        """Failure detection: a RUNNING run whose owner died leaves its
+        lease to lapse; once both locks are free again and the run is
+        stale, requeue it as PENDING so the poll loop re-executes it
+        (reference executor.go:87-94 semantics).  Returns requeued count."""
+        import time as _time
+
+        requeued = 0
+        now = _time.time()
+        for run in self.tasks.unfinished_runs():
+            if run.status != RunStatus.RUNNING:
+                continue
+            if run.started_at is None or now - run.started_at < stale_after_s:
+                continue
+            try:
+                task_key = self.locker.lock(f"task/{run.task_id}")
+            except fferr.KeyAlreadyLockedError:
+                continue  # a live owner still holds it
+            try:
+                run_key = self.locker.lock(f"run/{run.run_id}")
+            except fferr.KeyAlreadyLockedError:
+                self.locker.unlock(task_key)
+                continue
+            try:
+                run.log("reconciler: stale RUNNING run requeued")
+                self.tasks.set_run_status(run.run_id, RunStatus.PENDING)
+                requeued += 1
+            finally:
+                self.locker.unlock(run_key)
+                self.locker.unlock(task_key)
+        return requeued
 
     def stop(self) -> None:
         self._stop.set()

@@ -39,11 +39,22 @@ def redact(fields: dict) -> dict:
     }
 
 
+class _StderrProxy:
+    """Resolve sys.stderr at write time (keeps logs visible under
+    stream-capturing test harnesses and daemonized redirects)."""
+
+    def write(self, data):
+        return sys.stderr.write(data)
+
+    def flush(self):
+        return sys.stderr.flush()
+
+
 class Logger:
     def __init__(self, name: str = "embeddinghub_tpu", **fields):
         self._log = logging.getLogger(name)
         if not self._log.handlers:
-            handler = logging.StreamHandler(sys.stderr)
+            handler = logging.StreamHandler(_StderrProxy())
             handler.setFormatter(logging.Formatter("%(message)s"))
             self._log.addHandler(handler)
             self._log.setLevel(logging.INFO)

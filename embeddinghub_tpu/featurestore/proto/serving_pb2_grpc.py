@@ -14,6 +14,9 @@ _METHODS = [
     ("SourceData", "us", pb.SourceDataRequest, pb.SourceDataRows),
     ("Nearest", "uu", pb.NearestRequest, pb.NearestResponse),
     ("BatchFeatureServe", "us", pb.BatchFeatureServeRequest, pb.BatchFeatureRows),
+    ("TrainingDataColumns", "uu", pb.TrainingDataColumnsRequest, pb.TrainingColumns),
+    ("SourceColumns", "uu", pb.SourceColumnRequest, pb.SourceDataColumns),
+    ("GetResourceLocation", "uu", pb.ResourceIdRequest, pb.ResourceLocation),
 ]
 
 
@@ -49,6 +52,9 @@ class FeatureServicer:
     SourceData = _unimplemented
     Nearest = _unimplemented
     BatchFeatureServe = _unimplemented
+    TrainingDataColumns = _unimplemented
+    SourceColumns = _unimplemented
+    GetResourceLocation = _unimplemented
 
 
 def add_FeatureServicer_to_server(servicer, server) -> None:

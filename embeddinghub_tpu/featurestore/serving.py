@@ -45,8 +45,13 @@ class ServingClient:
         features: list[tuple[str, str] | str],
         entities: dict[str, Any],
         params: dict | None = None,
+        model: str | None = None,
     ) -> list[Any]:
-        """Current values of the given features for an entity map."""
+        """Current values of the given features for an entity map.
+        ``model`` records model<->feature lineage (the reference's
+        addModel, serving.go:566)."""
+        if model:
+            self.record_model(model, features=features)
         out = []
         for fref in features:
             name, variant = _split_ref(fref)
@@ -110,9 +115,39 @@ class ServingClient:
             raise fferr.ProviderTypeError(feat.provider, "VectorStore")
         return table.nearest(name, variant, vector, k)
 
+    def record_model(
+        self,
+        name: str,
+        features: list | None = None,
+        trainingsets: list | None = None,
+    ) -> None:
+        """Upsert a Model resource accumulating served feature /
+        training-set lineage edges."""
+        from embeddinghub_tpu.featurestore.resources import Model
+
+        rid = ResourceID(ResourceType.MODEL, name)
+        existing = self.metadata.maybe_get(rid)
+        model = existing if isinstance(existing, Model) else Model(name=name)
+        for ref in features or []:
+            edge = _split_ref(ref)
+            if edge not in model.features:
+                model.features.append(edge)
+        for ref in trainingsets or []:
+            edge = _split_ref(ref)
+            if edge not in model.trainingsets:
+                model.trainingsets.append(edge)
+        self.metadata.create(model)
+
     # --------------------------------------------------------------- offline
 
-    def training_set(self, name: str, variant: str = "default") -> "Dataset":
+    def training_set(
+        self, name: str, variant: str = "default", model: str | None = None
+    ) -> "Dataset":
+        if model:
+            self.record_model(model, trainingsets=[(name, variant)])
+        return self._training_set(name, variant)
+
+    def _training_set(self, name: str, variant: str = "default") -> "Dataset":
         ts = self.metadata.get(
             ResourceID(ResourceType.TRAINING_SET_VARIANT, name, variant)
         )

@@ -77,7 +77,9 @@ class FeatureService(pb_grpc.FeatureServicer):
             vals = list(e.values) or ([e.value] if e.value else [])
             entities[e.name] = vals[0] if vals else ""
         try:
-            values = self._serving.features(features, entities)
+            values = self._serving.features(
+                features, entities, model=request.model.name or None
+            )
         except fferr.FFError as e:
             for f, v in features:
                 METRICS.feature_error(f, v)
@@ -124,7 +126,9 @@ class FeatureService(pb_grpc.FeatureServicer):
     def TrainingData(self, request, context):
         try:
             ds = self._serving.training_set(
-                request.id.name, request.id.version or "default"
+                request.id.name,
+                request.id.version or "default",
+                model=request.model.name or None,
             )
         except fferr.FFError as e:
             self._abort(context, e)
@@ -184,6 +188,69 @@ class FeatureService(pb_grpc.FeatureServicer):
             else:
                 test_pos = new_pos
             yield resp
+
+    def TrainingDataColumns(self, request, context):
+        from embeddinghub_tpu.featurestore.resources import (
+            ResourceID,
+            ResourceType,
+        )
+
+        try:
+            ts = self._serving.metadata.get(
+                ResourceID(
+                    ResourceType.TRAINING_SET_VARIANT,
+                    request.id.name,
+                    request.id.version or "default",
+                )
+            )
+        except fferr.FFError as e:
+            self._abort(context, e)
+        resp = pb.TrainingColumns()
+        resp.features.extend([f"{n}.{v}" for n, v in ts.features])
+        resp.label = f"{ts.label[0]}.{ts.label[1]}"
+        return resp
+
+    def SourceColumns(self, request, context):
+        from embeddinghub_tpu.featurestore.resources import (
+            ResourceID,
+            ResourceType,
+        )
+
+        try:
+            src = self._serving.metadata.get(
+                ResourceID(
+                    ResourceType.SOURCE_VARIANT,
+                    request.id.name,
+                    request.id.version or "default",
+                )
+            )
+            offline = self._serving._provider(src.provider).as_offline_store()
+            rows = offline.table_rows(src.name, src.variant)
+        except fferr.FFError as e:
+            self._abort(context, e)
+        resp = pb.SourceDataColumns()
+        resp.columns.extend(list(rows[0].keys()) if rows else [])
+        return resp
+
+    def GetResourceLocation(self, request, context):
+        from embeddinghub_tpu.featurestore.resources import (
+            ResourceID,
+            ResourceType,
+        )
+
+        try:
+            src = self._serving.metadata.get(
+                ResourceID(
+                    ResourceType.SOURCE_VARIANT,
+                    request.name,
+                    request.variant or "default",
+                )
+            )
+        except fferr.FFError as e:
+            self._abort(context, e)
+        return pb.ResourceLocation(
+            location=f"sqlite://src__{src.name}__{src.variant}"
+        )
 
     def SourceData(self, request, context):
         from embeddinghub_tpu.featurestore.resources import (
