@@ -25,6 +25,7 @@ def main(argv=None) -> int:
     ap.add_argument("--defs", default=None, help="definitions .py to apply")
     ap.add_argument("--store-port", type=int, default=7462)
     ap.add_argument("--serving-port", type=int, default=8081)
+    ap.add_argument("--metadata-port", type=int, default=8080)
     ap.add_argument("--http-port", type=int, default=3001)
     ap.add_argument("--data-dir", default="embedding_store.dat")
     ap.add_argument("--metadata-db", default=None)
@@ -62,6 +63,16 @@ def main(argv=None) -> int:
     serving_server.start()
     LOGGER.info("feature serving grpc up", port=args.serving_port)
 
+    from embeddinghub_tpu.featurestore.metadata_grpc import (
+        build_server as build_metadata,
+    )
+
+    metadata_server = build_metadata(
+        f"0.0.0.0:{args.metadata_port}", metadata, client.coordinator
+    )
+    metadata_server.start()
+    LOGGER.info("metadata grpc up", port=args.metadata_port)
+
     dashboard = DashboardServer(
         metadata, client.coordinator, port=args.http_port
     )
@@ -72,7 +83,8 @@ def main(argv=None) -> int:
     LOGGER.info("coordinator poll loop up")
     print(
         f"embeddinghub-tpu up: store=:{args.store_port} "
-        f"serving=:{args.serving_port} http=:{dashboard.port}",
+        f"serving=:{args.serving_port} metadata=:{args.metadata_port} "
+        f"http=:{dashboard.port}",
         flush=True,
     )
     try:
@@ -83,6 +95,7 @@ def main(argv=None) -> int:
         client.coordinator.stop()
         dashboard.stop()
         serving_server.stop(0)
+        metadata_server.stop(0)
         store_service.stop()
     return 0
 
