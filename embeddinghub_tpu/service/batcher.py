@@ -86,7 +86,12 @@ class QueryBatcher:
             try:
                 queries = np.stack([np.asarray(i.vector, np.float32) for i in items])
                 kmax = max(i.fetch for i in items)
-                results = version.nearest_batch(queries, kmax)
+                lock = getattr(version, "lock", None)
+                if lock is not None:
+                    with lock:
+                        results = version.nearest_batch(queries, kmax)
+                else:
+                    results = version.nearest_batch(queries, kmax)
                 for item, keys in zip(items, results):
                     item.future.set_result(keys[: item.fetch])
             except Exception as e:  # propagate to every waiter in the group

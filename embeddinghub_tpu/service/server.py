@@ -52,14 +52,10 @@ class EmbeddingHubService(pb_grpc.EmbeddingHubServicer):
             window_ms=self._config.query_batch_window_ms,
             max_batch=self._config.max_query_batch,
         )
-        self._version_locks: dict[int, threading.RLock] = {}
-        self._locks_guard = threading.Lock()
-
     # ------------------------------------------------------------- plumbing
 
     def _lock_for(self, version) -> threading.RLock:
-        with self._locks_guard:
-            return self._version_locks.setdefault(id(version), threading.RLock())
+        return version.lock
 
     def _version(self, space: str, context):
         version = self._store.get_version(space, DEFAULT_VERSION)

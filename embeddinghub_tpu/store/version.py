@@ -18,6 +18,7 @@ just the arena itself (FlatIndex) or a batched graph build (HNSW).
 
 from __future__ import annotations
 
+import threading
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -46,6 +47,10 @@ class Version:
         self.keymap = KeyMap()
         self.immutable = False
         self._wal = wal
+        # Writers and batched searches synchronize here (the server and
+        # the QueryBatcher share it; replaces the reference's global
+        # RPC mutex with per-version granularity).
+        self.lock = threading.RLock()
 
     # ------------------------------------------------------------------ write
 

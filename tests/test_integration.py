@@ -167,6 +167,51 @@ def test_async_futures(client):
     assert list(get_fut.result()) == [1, 1]
 
 
+def test_concurrent_insert_and_query(client):
+    """BASELINE config-5 capability: streaming batched inserts while
+    queries run (the reference serializes everything behind one mutex;
+    here writers take the per-version lock and readers hit consistent
+    device snapshots)."""
+    import threading
+
+    import numpy as np
+
+    space = uuid.uuid4()
+    client.create_space(space, 8)
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((100, 8)).astype(np.float32)
+    client.multiset(space, {f"b{i}": base[i].tolist() for i in range(100)})
+
+    errors = []
+
+    def writer():
+        try:
+            for wave in range(5):
+                client.multiset(
+                    space,
+                    {
+                        f"w{wave}_{i}": rng.standard_normal(8).tolist()
+                        for i in range(50)
+                    },
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for i in range(30):
+            got = client.nearest_neighbor(space, 3, embedding=base[i % 100].tolist())
+            assert len(got) == 3
+    finally:
+        t.join()
+    assert not errors
+    # all writes landed and are queryable
+    assert list(client.get(space, "w4_49")) is not None
+    found = client.nearest_neighbor(space, 1, key="w4_49")
+    assert len(found) == 1
+
+
 def test_concurrent_nearest_neighbor(client):
     """Many threads issuing NN at once — exercises the batching front."""
     from concurrent.futures import ThreadPoolExecutor
