@@ -280,7 +280,10 @@ class HNSWIndex(Index):
         # everywhere (hnswlib gets this for free from its dynamic heaps).
         state = self._device_arrays()
         b = next_pow2(w, floor=8)
-        q = np.zeros((b, self.dims), np.float32)
+        # pad with copies of a real query: padded rows then converge in
+        # the same number of hops instead of wandering from the zero
+        # vector and stalling the batch's joint termination
+        q = np.broadcast_to(pvecs[0], (b, self.dims)).copy()
         q[:w] = pvecs
         qd = jnp.asarray(q)
         cur = jnp.full((b,), self._entry, jnp.int32)
