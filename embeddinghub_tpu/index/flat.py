@@ -63,13 +63,18 @@ class FlatIndex(Index):
         capacity: int = 128,
         chunk_target: int = 65536,
         compute_dtype: str = "float32",
+        storage_dtype: str = "float32",
         device: jax.Device | None = None,
     ):
+        """``storage_dtype="bfloat16"`` halves the device-side HBM
+        footprint (~62M 128-d rows on a 16GB chip vs ~31M in f32) at
+        approx-path precision; the host arena stays f32."""
         if metric not in dist_ops.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
         self.dims = int(dims)
         self.metric = metric
         self.compute_dtype = compute_dtype
+        self.storage_dtype = storage_dtype
         self._chunk_target = chunk_target
         self._device = device
         self._cap = next_pow2(max(capacity, 128), floor=128)
@@ -135,8 +140,9 @@ class FlatIndex(Index):
         # on the way to the device.
         if self._needs_full_sync or self._dx is None:
             x = jax.device_put(jnp.asarray(self._hx), self._device)
-            self._dx = dist_ops.preprocess_vectors(x, self.metric)
-            self._dx_sq = dist_ops.sqnorms(self._dx)
+            xp = dist_ops.preprocess_vectors(x, self.metric)
+            self._dx_sq = dist_ops.sqnorms(xp)  # norms in f32 before any cast
+            self._dx = xp.astype(self.storage_dtype)
             self._dvalid = jax.device_put(jnp.asarray(self._hvalid), self._device)
             self._needs_full_sync = False
             self._dirty_rows.clear()
@@ -158,7 +164,7 @@ class FlatIndex(Index):
             self._dx_sq,
             self._dvalid,
             jnp.asarray(rows),
-            jnp.asarray(vecs),
+            jnp.asarray(vecs).astype(self._dx.dtype),
             jnp.asarray(np.einsum("nd,nd->n", vecs, vecs)),
         )
         # Scatter marks everything valid; re-invalidate removed rows.

@@ -93,3 +93,16 @@ def test_snapshot_roundtrip(rng):
     assert idx2.size == 9
     _, i = idx2.search(vecs[5:6], k=1)
     assert i[0, 0] == 5
+
+
+def test_bf16_storage(rng):
+    idx = FlatIndex(dims=16, storage_dtype="bfloat16")
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    idx.add(np.arange(300), vecs)
+    _, i = idx.search(vecs[42:43], k=1)
+    assert i[0, 0] == 42
+    # incremental scatter keeps the bf16 dtype
+    idx.add(np.arange(300, 320), rng.standard_normal((20, 16)).astype(np.float32))
+    _, i = idx.search(idx.vector(310)[None, :], k=1)
+    assert i[0, 0] == 310
+    assert str(idx._dx.dtype) == "bfloat16"
