@@ -35,6 +35,14 @@ from embeddinghub_tpu.ops import topk as topk_ops
 from embeddinghub_tpu.parallel.mesh import SHARD_AXIS, default_mesh
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _sharded_scatter(x, x_sq, valid, rows, vecs, vecs_sq, valid_bits):
+    x = x.at[rows].set(vecs)
+    x_sq = x_sq.at[rows].set(vecs_sq)
+    valid = valid.at[rows].set(valid_bits)
+    return x, x_sq, valid
+
+
 class ShardedFlatIndex(Index):
     def __init__(
         self,
@@ -63,7 +71,9 @@ class ShardedFlatIndex(Index):
         self._dx_sq = None
         self._dvalid = None
         self._dirty = True
+        self._dirty_rows: set[int] = set()
         self._search_fn = None
+        self._search_k = None
 
     # ------------------------------------------------------------ properties
 
@@ -89,14 +99,24 @@ class ShardedFlatIndex(Index):
         self._size += int(np.count_nonzero(newly))
         self._hx[rows] = vecs
         self._hvalid[rows] = True
-        self._dirty = True
+        self._mark_dirty(rows)
 
     def remove(self, rows: np.ndarray) -> None:
         rows = np.asarray(rows, dtype=np.int64).ravel()
         rows = rows[(rows >= 0) & (rows < self.total_capacity)]
         self._size -= int(np.count_nonzero(self._hvalid[rows]))
         self._hvalid[rows] = False
-        self._dirty = True
+        self._mark_dirty(rows)
+
+    def _mark_dirty(self, rows: np.ndarray) -> None:
+        """Track rows for the streaming-insert scatter path; large dirty
+        sets degrade to a full re-upload."""
+        if self._dirty:
+            return
+        self._dirty_rows.update(int(r) for r in rows)
+        if len(self._dirty_rows) > 0.25 * self.total_capacity:
+            self._dirty = True
+            self._dirty_rows.clear()
 
     def _ensure_capacity(self, need: int) -> None:
         if need <= self.total_capacity:
@@ -124,8 +144,12 @@ class ShardedFlatIndex(Index):
         return np.ascontiguousarray(arr.reshape(capl, s).T).reshape(s * capl)
 
     def _sync(self) -> None:
+        if not self._dirty and self._dirty_rows:
+            self._scatter_sync()
+            return
         if not self._dirty:
             return
+        self._dirty_rows.clear()
         x = self._hx
         if self.metric == "cosine":
             norms = np.linalg.norm(x, axis=1, keepdims=True)
@@ -138,6 +162,35 @@ class ShardedFlatIndex(Index):
         self._dvalid = jax.device_put(self._shard_major(self._hvalid), row_sharding)
         self._dirty = False
         self._search_fn = None  # shapes may have changed
+
+    def _scatter_sync(self) -> None:
+        """Streaming batched inserts (BASELINE config 4): scatter dirty
+        host rows into the sharded device arrays in place.  Host row
+        r = local*S + shard maps to device row shard*capL + local; the
+        update indices are replicated, XLA routes each write to its
+        owning shard."""
+        rows = np.fromiter(self._dirty_rows, dtype=np.int64)
+        padded = next_pow2(rows.size, floor=8)
+        rows = np.concatenate(
+            [rows, np.full(padded - rows.size, rows[0], np.int64)]
+        )
+        vecs = self._hx[rows]
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.maximum(norms, 1e-30)
+        s, capl = self.n_shards, self._cap_local
+        dev_rows = (rows % s) * capl + rows // s
+        valid_bits = self._hvalid[rows]
+        self._dx, self._dx_sq, self._dvalid = _sharded_scatter(
+            self._dx,
+            self._dx_sq,
+            self._dvalid,
+            jnp.asarray(dev_rows.astype(np.int32)),
+            jnp.asarray(vecs),
+            jnp.asarray(np.einsum("nd,nd->n", vecs, vecs)),
+            jnp.asarray(valid_bits),
+        )
+        self._dirty_rows.clear()
 
     # ----------------------------------------------------------------- search
 

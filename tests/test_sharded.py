@@ -86,3 +86,23 @@ def test_sharded_k_exceeds_live(rng, mesh):
     dist, rows = idx.search(vecs[:1], 8)
     assert np.isfinite(dist[0, :3]).all()
     assert (rows[0, 3:] == -1).all()
+
+
+def test_sharded_streaming_scatter_path(rng, mesh):
+    """Small post-sync inserts take the scatter path, not a re-upload."""
+    d = 8
+    idx = ShardedFlatIndex(d, mesh=mesh, capacity=2048)
+    vecs = rng.standard_normal((500, d)).astype(np.float32)
+    idx.add(np.arange(500), vecs)
+    idx.search(vecs[:1], 1)  # full sync
+    new = rng.standard_normal((20, d)).astype(np.float32)
+    idx.add(np.arange(500, 520), new)  # within capacity
+    assert not idx._dirty and len(idx._dirty_rows) == 20
+    _, rows = idx.search(new[3:4], 1)
+    assert rows[0, 0] == 503
+    assert len(idx._dirty_rows) == 0
+    # updates to existing rows also stream
+    moved = vecs[7] + 100.0
+    idx.add([7], moved[None, :])
+    _, rows = idx.search(moved[None, :], 1)
+    assert rows[0, 0] == 7
