@@ -123,11 +123,19 @@ class HNSWIndex(Index):
         self._hvalid[rows] = True
         self._size += int(np.count_nonzero(~updates))
 
-        # wave-based insert: never insert more than half the current
-        # graph at once so wave siblings don't degrade link quality
         order = np.argsort(rows)  # deterministic
         pending = rows[order]
         pvecs = prepped[order]
+
+        if self._graph_size() == 0 and len(pending) >= 2048:
+            # Bulk path: NN-descent graph construction — fully batched on
+            # device, no sequential insertion (ops/nn_descent.py).
+            self._bulk_build(pending, pvecs)
+            self._device_state = None
+            return
+
+        # wave-based insert: never insert more than half the current
+        # graph at once so wave siblings don't degrade link quality
         i = 0
         while i < len(pending):
             built = max(self._graph_size(), 8)
@@ -135,6 +143,100 @@ class HNSWIndex(Index):
             self._insert_wave(pending[i : i + wave], pvecs[i : i + wave])
             i += wave
         self._device_state = None
+
+    # ------------------------------------------------------------- bulk build
+
+    def _bulk_build(self, rows: np.ndarray, pvecs: np.ndarray) -> None:
+        """Bulk construction: NN-descent kNN graph + batched heuristic
+        prune for layer 0; upper layers via exact kNN among each level's
+        (geometrically shrinking) node subset.  Search semantics are
+        identical to the incremental path."""
+        import jax.numpy as jnp
+
+        from embeddinghub_tpu.ops import nn_descent as nnd
+        from embeddinghub_tpu.ops import topk as topk_ops
+
+        n = len(rows)
+        block = 2048 if n < 32768 else 4096
+        padded = -(-n // block) * block
+        x = np.empty((padded, self.dims), np.float32)
+        x[:n] = pvecs
+        if padded > n:
+            if self.metric == "l2":
+                # far-offset pad rows never enter real neighbor lists
+                x[n:] = pvecs[0] + 1e4
+            else:
+                rngp = np.random.default_rng(1)
+                pad = rngp.standard_normal((padded - n, self.dims))
+                x[n:] = pad / np.linalg.norm(pad, axis=1, keepdims=True)
+
+        xd = jnp.asarray(x)
+        xsq = jnp.einsum("nd,nd->n", xd, xd)
+
+        m0 = min(self.m0, 32)
+        nb = nnd.nn_descent(
+            xd, xsq, m=m0, iters=8, block=block, metric=self.metric
+        )
+        # symmetrize: forward ++ reverse-sample candidates, then prune
+        ids = jnp.arange(padded, dtype=jnp.int32)
+        rev = jnp.full((padded, m0), -1, jnp.int32)
+        for j in range(m0):
+            rev = rev.at[nb[:, j], j].set(ids)
+        cand = jnp.concatenate([nb, rev], axis=1)
+        pruned = nnd.heuristic_prune(
+            xd, xsq, cand, m_keep=self.m0, metric=self.metric, cand_k=2 * m0
+        )
+        pruned = np.asarray(pruned)[:n]
+
+        # local (position) ids -> global row ids; padding/-1 dropped
+        local_to_row = rows.astype(np.int64)
+        valid = (pruned >= 0) & (pruned < n)
+        mapped = np.where(valid, local_to_row[np.clip(pruned, 0, n - 1)], -1)
+        self._nb0[rows] = mapped.astype(np.int32)
+
+        # levels + upper layers
+        levels = np.asarray([self._assign_level() for _ in range(n)], np.int32)
+        self._levels[rows] = levels
+        top = int(levels.max(initial=0))
+        for layer in range(1, top + 1):
+            members = np.flatnonzero(levels >= layer)
+            gids = local_to_row[members]
+            if members.size <= 1:
+                for g in gids:
+                    self._upper.setdefault(layer, {})[int(g)] = []
+                continue
+            sub = pvecs[members]
+            cap = max(128, -(-members.size // 128) * 128)
+            subx = np.zeros((cap, self.dims), np.float32)
+            subx[: members.size] = sub
+            svalid = np.zeros(cap, bool)
+            svalid[: members.size] = True
+            sxd = jnp.asarray(subx)
+            qb = next_pow2(members.size, floor=8)
+            qpad = np.zeros((qb, self.dims), np.float32)
+            qpad[: members.size] = sub
+            d_, i_ = topk_ops.chunked_topk_search(
+                jnp.asarray(qpad),
+                sxd,
+                jnp.asarray(svalid),
+                jnp.einsum("nd,nd->n", sxd, sxd),
+                metric=self.metric if self.metric != "cosine" else "ip",
+                k=min(next_pow2(self.m + 1, floor=8), cap),
+                chunk=cap,
+            )
+            i_ = np.asarray(i_)[: members.size]
+            layer_map = self._upper.setdefault(layer, {})
+            for j, g in enumerate(gids):
+                neigh = [
+                    int(local_to_row[members[t]])
+                    for t in i_[j]
+                    if t >= 0 and members[t] != members[j]
+                ][: self.m]
+                layer_map[int(g)] = neigh
+        # entry point = (a) node of the top level
+        top_nodes = np.flatnonzero(levels == top)
+        self._entry = int(local_to_row[top_nodes[0]])
+        self._max_level = top
 
     def _graph_size(self) -> int:
         return int(np.count_nonzero(self._levels >= 0))

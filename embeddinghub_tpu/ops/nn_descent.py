@@ -1,0 +1,179 @@
+"""NN-descent — batched k-NN-graph construction on the MXU.
+
+hnswlib builds its graph by *sequential insertion* (one point at a
+time, each doing an ef-bounded graph search).  That order-dependence is
+the antithesis of TPU execution, so bulk construction here uses
+NN-descent (Dong et al., WWW'11): start from a random neighbor table
+and iteratively refine every node's neighbors from its
+neighbors-of-neighbors — each iteration is nothing but gathers, one big
+distance einsum, and a top-k, all batched over every node at once.
+
+A handful of iterations converges to a high-recall kNN graph; the HNSW
+layer then applies the standard neighbor-selection heuristic (batched,
+on device) to turn the kNN rows into the pruned, diversity-preserving
+adjacency hnswlib's search semantics expect.
+
+Candidate set per node and iteration:
+    own neighbors  [M]  ∪  reverse-sample [M]  ∪  neighbors² [M*M]
+Dedup is sort-based (sort candidate ids, mask repeats) — no dynamic
+shapes anywhere; blocks of nodes stream through a lax.map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+def _block_refine(x, x_sq, nb, rev, block_ids, metric):
+    """One refinement step for a block of nodes.
+
+    block_ids [B]; nb [N, M]; rev [N, M] -> new neighbors [B, M]."""
+    m = nb.shape[1]
+    b = block_ids.shape[0]
+    own = nb[block_ids]                      # [B, M]
+    rsm = rev[block_ids]                     # [B, M]
+    hop2 = nb[jnp.where(own >= 0, own, 0)].reshape(b, m * m)
+    hop2 = jnp.where(
+        jnp.repeat(own >= 0, m, axis=1), hop2, -1
+    )
+    cand = jnp.concatenate([own, rsm, hop2], axis=1)   # [B, C]
+    c = cand.shape[1]
+
+    # sort-based dedup (repeated ids -> -1)
+    order = jnp.argsort(cand, axis=1)
+    sorted_ids = jnp.take_along_axis(cand, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), sorted_ids[:, 1:] == sorted_ids[:, :-1]],
+        axis=1,
+    )
+    sorted_ids = jnp.where(dup, -1, sorted_ids)
+    # drop self
+    sorted_ids = jnp.where(sorted_ids == block_ids[:, None], -1, sorted_ids)
+
+    safe = jnp.where(sorted_ids >= 0, sorted_ids, 0)
+    cvecs = x[safe]                                    # [B, C, D]
+    q = x[block_ids]                                   # [B, D]
+    dots = jnp.einsum("bcd,bd->bc", cvecs, q, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        d = x_sq[safe] - 2.0 * dots + x_sq[block_ids][:, None]
+    else:
+        d = 1.0 - dots
+    d = jnp.where(sorted_ids >= 0, d, INF)
+
+    nd, pos = jax.lax.top_k(-d, m)
+    new_nb = jnp.take_along_axis(sorted_ids, pos, axis=1)
+    new_nb = jnp.where(jnp.isfinite(-nd), new_nb, -1)
+    return new_nb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "iters", "block", "metric")
+)
+def nn_descent(
+    x: jax.Array,       # [N, D] f32, metric-preprocessed
+    x_sq: jax.Array,    # [N]
+    *,
+    m: int = 32,
+    iters: int = 8,
+    block: int = 4096,
+    metric: str = "l2",
+    seed: int = 0,
+) -> jax.Array:
+    """Approximate kNN graph ``[N, m]`` (int32, self-excluded, -1 pad).
+    N must be a multiple of ``block`` (callers pad and mask)."""
+    n = x.shape[0]
+    if n % block:
+        raise ValueError(f"N={n} not a multiple of block={block}")
+    key = jax.random.PRNGKey(seed)
+    nb = jax.random.randint(key, (n, m), 0, n, dtype=jnp.int32)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    # avoid self-init
+    nb = jnp.where(nb == ids[:, None], (nb + 1) % n, nb)
+
+    blocks = ids.reshape(n // block, block)
+
+    def one_iter(nb, _):
+        # reverse sample: column j of rev holds some i with nb[i, j] = node
+        rev = jnp.full((n, nb.shape[1]), -1, jnp.int32)
+        for j in range(nb.shape[1]):
+            rev = rev.at[nb[:, j], j].set(ids)
+
+        new_nb = jax.lax.map(
+            lambda bids: _block_refine(x, x_sq, nb, rev, bids, metric),
+            blocks,
+        ).reshape(n, nb.shape[1])
+        return new_nb, None
+
+    nb, _ = jax.lax.scan(one_iter, nb, None, length=iters)
+    return nb
+
+
+@functools.partial(jax.jit, static_argnames=("m_keep", "metric", "cand_k"))
+def heuristic_prune(
+    x: jax.Array,        # [N, D]
+    x_sq: jax.Array,
+    nb: jax.Array,       # [N, C] candidate ids sorted nearest-first
+    *,
+    m_keep: int,
+    metric: str = "l2",
+    cand_k: int = 64,
+) -> jax.Array:
+    """Batched hnswlib neighbor-selection heuristic: scanning candidates
+    nearest-first, keep c iff d(c, node) < d(c, s) for every kept s.
+    Operates on the first ``cand_k`` candidates of each row."""
+    n = x.shape[0]
+    cand = nb[:, :cand_k]
+    safe = jnp.where(cand >= 0, cand, 0)
+    cvecs = x[safe]                                    # [N, K, D]
+    q = x
+    dots = jnp.einsum("nkd,nd->nk", cvecs, q, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        d_q = x_sq[safe] - 2.0 * dots + x_sq[:, None]
+    else:
+        d_q = 1.0 - dots
+    d_q = jnp.where(cand >= 0, d_q, INF)
+
+    # pairwise distances among candidates [N, K, K]
+    pr = jnp.einsum(
+        "nkd,njd->nkj", cvecs, cvecs, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        pair = x_sq[safe][:, :, None] - 2.0 * pr + x_sq[safe][:, None, :]
+    else:
+        pair = 1.0 - pr
+
+    order = jnp.argsort(d_q, axis=1)
+    # kept mask built greedily over the sorted order
+    kept = jnp.zeros((n, cand_k), bool)
+
+    def body(i, kept):
+        ci = order[:, i]                               # candidate position
+        d_ci = jnp.take_along_axis(d_q, ci[:, None], axis=1)[:, 0]
+        # min distance from candidate ci to already-kept candidates
+        pair_ci = jnp.take_along_axis(
+            pair, ci[:, None, None], axis=1
+        )[:, 0, :]                                      # [N, K]
+        masked = jnp.where(kept, pair_ci, INF)
+        closest_kept = jnp.min(masked, axis=1)
+        n_kept = jnp.sum(kept, axis=1)
+        ok = (
+            jnp.isfinite(d_ci)
+            & (n_kept < m_keep)
+            & ((closest_kept >= d_ci) | (n_kept == 0))
+        )
+        onehot = (
+            jnp.arange(cand_k)[None, :] == ci[:, None]
+        ) & ok[:, None]
+        return kept | onehot
+
+    kept = jax.lax.fori_loop(0, cand_k, body, kept)
+    # emit kept candidate ids, nearest-first, -1 padded
+    keep_d = jnp.where(kept, d_q, INF)
+    nd, pos = jax.lax.top_k(-keep_d, m_keep)
+    out = jnp.take_along_axis(cand, pos, axis=1)
+    return jnp.where(jnp.isfinite(-nd), out, -1).astype(jnp.int32)

@@ -118,3 +118,22 @@ def test_snapshot_roundtrip(rng):
     _, a = idx.search(q, 5, ef=50)
     _, b = idx2.search(q, 5, ef=50)
     assert a[0, 0] == b[0, 0] == 42
+
+
+def test_bulk_build_path(rng):
+    """n >= 2048 empty-index adds take the NN-descent bulk path."""
+    n, d = 2048, 16
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HNSWIndex(dims=d, m=16, ef_construction=100)
+    idx.add(np.arange(n), vecs)
+    assert idx.size == n
+    q = rng.standard_normal((64, d)).astype(np.float32)
+    oracle = oracle_topk(q, vecs, 10)
+    _, got = idx.search(q, 10, ef=80)
+    recall = np.mean([len(set(got[i]) & set(oracle[i])) / 10 for i in range(64)])
+    assert recall >= 0.85, recall
+    # graph structure sane: entry exists, incremental add still works
+    assert idx._entry >= 0
+    idx.add([n], vecs[0:1] + 0.001)
+    _, got = idx.search(vecs[0:1] + 0.001, 1, ef=50)
+    assert got[0, 0] in (0, n)
