@@ -19,6 +19,11 @@ walks its graph per query on CPU behind a global mutex, SURVEY.md §2c).
 
 from __future__ import annotations
 
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import json
 import time
 

@@ -12,6 +12,11 @@ Usage:  python benchmarks/benchmark_suite.py [--ops 10000] [--ann-n 10000]
 
 from __future__ import annotations
 
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 import argparse
 import json
 import os

@@ -192,6 +192,20 @@ class HNSWIndex(Index):
         local_to_row = rows.astype(np.int64)
         valid = (pruned >= 0) & (pruned < n)
         mapped = np.where(valid, local_to_row[np.clip(pruned, 0, n - 1)], -1)
+
+        # Connectivity insurance: NN-descent on clustered data converges
+        # to per-cluster islands (hnswlib avoids this implicitly via
+        # insertion-order long edges). Reserve the last slots of each
+        # row for random long-range edges — the small-world shortcut
+        # that lets greedy/beam search cross clusters.
+        rng_e = np.random.default_rng(7)
+        n_rand = min(3, self.m0 - 1)
+        rand_local = rng_e.integers(0, n, size=(n, n_rand))
+        rand_global = local_to_row[rand_local]
+        rand_global = np.where(
+            rand_local == np.arange(n)[:, None], -1, rand_global
+        )
+        mapped[:, self.m0 - n_rand :] = rand_global
         self._nb0[rows] = mapped.astype(np.int32)
 
         # levels + upper layers
