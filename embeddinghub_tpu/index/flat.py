@@ -66,9 +66,10 @@ class FlatIndex(Index):
         storage_dtype: str = "float32",
         device: jax.Device | None = None,
     ):
-        """``storage_dtype="bfloat16"`` halves the device-side HBM
-        footprint (~62M 128-d rows on a 16GB chip vs ~31M in f32) at
-        approx-path precision; the host arena stays f32."""
+        """``storage_dtype``: "float32" (default), "bfloat16" (2x HBM
+        capacity, ~62M 128-d rows/16GB chip) or "int8" (4x, ~125M rows
+        — the Deep-100M lever; per-row symmetric quantization with f32
+        rerank of candidates). The host arena always stays f32."""
         if metric not in dist_ops.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
         self.dims = int(dims)
@@ -142,7 +143,14 @@ class FlatIndex(Index):
             x = jax.device_put(jnp.asarray(self._hx), self._device)
             xp = dist_ops.preprocess_vectors(x, self.metric)
             self._dx_sq = dist_ops.sqnorms(xp)  # norms in f32 before any cast
-            self._dx = xp.astype(self.storage_dtype)
+            if self.storage_dtype == "int8":
+                scales = jnp.max(jnp.abs(xp), axis=1) / 127.0
+                self._dscales = jnp.maximum(scales, 1e-30)
+                self._dx = jnp.clip(
+                    jnp.round(xp / self._dscales[:, None]), -127, 127
+                ).astype(jnp.int8)
+            else:
+                self._dx = xp.astype(self.storage_dtype)
             self._dvalid = jax.device_put(jnp.asarray(self._hvalid), self._device)
             self._needs_full_sync = False
             self._dirty_rows.clear()
@@ -159,6 +167,34 @@ class FlatIndex(Index):
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.maximum(norms, 1e-30)
         valid_bits = self._hvalid[rows]
+        if self.storage_dtype == "int8":
+            # int8 scatter: re-quantize the touched rows host-side
+            scales = np.maximum(
+                np.abs(vecs).max(axis=1) / 127.0, 1e-30
+            ).astype(np.float32)
+            qrows = np.clip(np.round(vecs / scales[:, None]), -127, 127).astype(
+                np.int8
+            )
+            self._dscales = self._dscales.at[jnp.asarray(rows)].set(
+                jnp.asarray(scales)
+            )
+            self._dx, self._dx_sq, self._dvalid = _scatter_rows(
+                self._dx,
+                self._dx_sq,
+                self._dvalid,
+                jnp.asarray(rows),
+                jnp.asarray(qrows),
+                jnp.asarray(np.einsum("nd,nd->n", vecs, vecs)),
+            )
+            if not valid_bits.all():
+                dead = rows[~valid_bits]
+                padded = next_pow2(dead.size, floor=8)
+                dead = np.concatenate(
+                    [dead, np.full(padded - dead.size, dead[0], np.int32)]
+                )
+                self._dvalid = _scatter_invalidate(self._dvalid, jnp.asarray(dead))
+            self._dirty_rows.clear()
+            return
         self._dx, self._dx_sq, self._dvalid = _scatter_rows(
             self._dx,
             self._dx_sq,
@@ -215,6 +251,31 @@ class FlatIndex(Index):
             queries = np.concatenate(
                 [queries, np.zeros((pb - b, self.dims), np.float32)]
             )
+        if self.storage_dtype == "int8":
+            # quantized shards always use the int8 scoring path
+            if query_dtype is not None:
+                import ml_dtypes
+
+                q_dev = jnp.asarray(queries.astype(ml_dtypes.bfloat16))
+            else:
+                q_dev = jnp.asarray(queries)
+            d, i = topk_ops.int8_oversample_search(
+                q_dev,
+                self._dx,
+                self._dscales,
+                self._dvalid,
+                self._dx_sq,
+                metric=self.metric,
+                k=kk,
+                oversample=min(8, max(1, self._cap // max(kk, 1))),
+            )
+            if not with_distances:
+                i = np.asarray(i[:b, :k]).astype(np.int64)
+                return np.zeros((b, k), np.float32), i
+            d = np.asarray(d)[:b, :k]
+            i = np.asarray(i)[:b, :k].astype(np.int64)
+            i[~np.isfinite(d)] = -1
+            return d, i
         if mode == "auto":
             use_approx = (
                 jax.default_backend() != "cpu" and self._cap >= 4096

@@ -119,6 +119,68 @@ def chunked_topk_search(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("metric", "k", "oversample"),
+)
+def int8_oversample_search(
+    q: jax.Array,        # [B, D] f32
+    xq: jax.Array,       # [cap, D] int8 (per-row symmetric quantized)
+    scales: jax.Array,   # [cap] f32 row scales (x_row ≈ xq_row * scale)
+    valid: jax.Array,
+    x_sq: jax.Array,     # [cap] f32 true squared norms
+    *,
+    metric: str = "l2",
+    k: int = 10,
+    oversample: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantized fast path: int8 score matmul (4x less HBM traffic and
+    footprint than f32 — the Deep-100M capacity lever), approx_max_k
+    candidate selection, then a rerank against the dequantized
+    candidate rows.  Recall tracks the bf16 path closely because
+    ranking only needs relative order and the rerank fixes the top."""
+    q = q.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    kk = k * oversample
+    # quantize queries per-row to int8 as well -> int32 MXU accumulate
+    qscale = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+    qq = jnp.clip(
+        jnp.round(q / jnp.maximum(qscale, 1e-30)), -127, 127
+    ).astype(jnp.int8)
+    idots = jax.lax.dot_general(
+        qq,
+        xq.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    dots = idots * qscale * scales[None, :]
+    if metric == "l2":
+        score = 2.0 * dots - x_sq[None, :]
+    else:
+        score = dots
+    score = jnp.where(valid[None, :], score, -INF)
+    cv, cand = jax.lax.approx_max_k(score, kk)
+
+    # rerank on dequantized candidate rows (f32 einsum)
+    cx = xq[cand].astype(jnp.float32) * scales[cand][:, :, None]
+    edots = jnp.einsum("bkd,bd->bk", cx, q, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        escore = 2.0 * edots - x_sq[cand]
+    else:
+        escore = edots
+    escore = jnp.where(jnp.isfinite(cv), escore, -INF)
+    nv, pos = jax.lax.top_k(escore, k)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    if metric == "l2":
+        dist = jnp.maximum(D.sqnorms(q)[:, None] - nv, 0.0)
+    else:
+        dist = 1.0 - nv
+    dist = jnp.where(jnp.isfinite(nv), dist, INF)
+    idx = jnp.where(jnp.isfinite(nv), idx, -1)
+    return dist, idx.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("metric", "k", "oversample", "rerank"),
 )
 def approx_oversample_search(

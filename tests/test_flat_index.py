@@ -106,3 +106,25 @@ def test_bf16_storage(rng):
     _, i = idx.search(idx.vector(310)[None, :], k=1)
     assert i[0, 0] == 310
     assert str(idx._dx.dtype) == "bfloat16"
+
+
+def test_int8_storage(rng):
+    idx = FlatIndex(dims=32, storage_dtype="int8", capacity=4096)
+    vecs = rng.standard_normal((2000, 32)).astype(np.float32)
+    idx.add(np.arange(2000), vecs)
+    # perturbed copies must come back top-1
+    q = vecs[100:110] + 0.001
+    _, i = idx.search(q, k=1)
+    np.testing.assert_array_equal(i[:, 0], np.arange(100, 110))
+    # recall vs oracle stays high despite quantization
+    qs = rng.standard_normal((64, 32)).astype(np.float32)
+    d = -2 * qs @ vecs.T + (vecs * vecs).sum(1)[None, :]
+    oracle = np.argsort(d, axis=1)[:, :10]
+    _, got = idx.search(qs, 10)
+    recall = np.mean([len(set(got[i]) & set(oracle[i])) / 10 for i in range(64)])
+    assert recall >= 0.95, recall
+    # incremental scatter path
+    idx.search(qs[:1], 1)
+    idx.add([2000], (vecs[0] * 2 + 5)[None, :])
+    _, i = idx.search((vecs[0] * 2 + 5)[None, :], 1)
+    assert i[0, 0] == 2000
