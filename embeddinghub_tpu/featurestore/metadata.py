@@ -13,7 +13,6 @@ dict-backed store and a sqlite-backed store ship here.
 
 from __future__ import annotations
 
-import json
 import sqlite3
 import threading
 from typing import Callable, Iterable

@@ -45,11 +45,10 @@ from embeddinghub_tpu.featurestore.resources import (
     Resource,
     ResourceType,
     SourceVariant,
-    Status,
     TrainingSetVariant,
     User,
 )
-from embeddinghub_tpu.featurestore.serving import Dataset, ServingClient
+from embeddinghub_tpu.featurestore.serving import ServingClient
 
 
 class Registrar:

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from embeddinghub_tpu.index.base import Index, as_f32_matrix, next_pow2
-from embeddinghub_tpu.index.flat import _BATCH_BUCKETS, _bucket
+from embeddinghub_tpu.index.flat import _bucket
 from embeddinghub_tpu.ops import distance as dist_ops
 from embeddinghub_tpu.ops import topk as topk_ops
 from embeddinghub_tpu.parallel.mesh import SHARD_AXIS, default_mesh

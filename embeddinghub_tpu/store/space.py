@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from embeddinghub_tpu.store import errors
 from embeddinghub_tpu.store.persistence import VersionWal, load_version, save_version
 from embeddinghub_tpu.store.version import Version
 
