@@ -117,6 +117,19 @@ class EmbeddingHubClient:
         for resp in self._stub.MultiGet(request_iter()):
             yield resp.embedding.values
 
+    def nearest_neighbor_batch(self, space, num, keys=None, embeddings=None):
+        """Batched nearest neighbors in ONE round trip (extension beyond
+        the reference SDK): pass either ``keys`` (self-excluded) or
+        ``embeddings``; returns a list of key lists."""
+        req = pb.BatchNearestNeighborRequest(space=str(space), num=num)
+        if keys is not None:
+            req.keys[:] = [str(k) for k in keys]
+        if embeddings is not None:
+            for e in embeddings:
+                req.embeddings.add().values[:] = list(e)
+        resp = self._stub.BatchNearestNeighbor(req)
+        return [list(r.keys) for r in resp.results]
+
     def download(self, space):
         """Iterate all (key, embedding) pairs in a space."""
         req = pb.DownloadRequest(space=str(space))

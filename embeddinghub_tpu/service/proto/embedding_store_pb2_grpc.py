@@ -23,6 +23,12 @@ _METHODS = [
     ("MultiGet", "ss", pb.MultiGetRequest, pb.MultiGetResponse),
     ("NearestNeighbor", "uu", pb.NearestNeighborRequest, pb.NearestNeighborResponse),
     ("Download", "us", pb.DownloadRequest, pb.DownloadResponse),
+    (
+        "BatchNearestNeighbor",
+        "uu",
+        pb.BatchNearestNeighborRequest,
+        pb.BatchNearestNeighborResponse,
+    ),
 ]
 
 
@@ -64,6 +70,7 @@ class EmbeddingHubServicer:
     MultiGet = _unimplemented
     NearestNeighbor = _unimplemented
     Download = _unimplemented
+    BatchNearestNeighbor = _unimplemented
 
 
 def add_EmbeddingHubServicer_to_server(servicer, server) -> None:

@@ -192,6 +192,48 @@ class EmbeddingHubService(pb_grpc.EmbeddingHubServicer):
         resp.keys[:] = list(keys)
         return resp
 
+    def BatchNearestNeighbor(self, request, context):
+        """Extension RPC: a whole query batch in one round trip, executed
+        as one fused device dispatch (the through-the-wire analog of the
+        QueryBatcher's fusion for single-query RPC streams)."""
+        version = self._version(request.space, context)
+        has_keys = len(request.keys) > 0
+        has_vecs = len(request.embeddings) > 0
+        if has_keys == has_vecs:
+            context.abort(
+                grpc.StatusCode.INVALID_ARGUMENT,
+                "Exactly one of keys or embeddings must be set",
+            )
+        num = request.num
+        try:
+            if has_keys:
+                queries = np.stack([version.get(k) for k in request.keys])
+                fetch = num + 1
+            else:
+                queries = np.asarray(
+                    [list(e.values) for e in request.embeddings], np.float32
+                )
+                if queries.ndim != 2 or queries.shape[1] != version.dims:
+                    raise store_errors.DimensionMismatchError(
+                        version.dims, queries.shape[-1] if queries.ndim else 0
+                    )
+                fetch = num
+            with self._lock_for(version):
+                results = version.nearest_batch(queries, fetch)
+        except store_errors.EmbeddingHubError as e:
+            self._abort_store_error(context, e)
+        resp = pb.BatchNearestNeighborResponse()
+        for i, keys in enumerate(results):
+            keys = list(keys)
+            if has_keys:
+                me = request.keys[i]
+                if me in keys:
+                    keys.remove(me)
+                elif len(keys) > num:
+                    keys.pop()
+            resp.results.add().keys[:] = keys
+        return resp
+
     def stop(self) -> None:
         self._batcher.stop()
 

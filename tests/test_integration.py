@@ -230,3 +230,32 @@ def test_concurrent_nearest_neighbor(client):
     with ThreadPoolExecutor(16) as ex:
         results = list(ex.map(query, range(100)))
     assert all(results[i] == [f"k{i}"] for i in range(100))
+
+
+def test_batch_nearest_neighbor_rpc(client):
+    """Extension RPC: whole batch in one round trip."""
+    import numpy as np
+
+    space = uuid.uuid4()
+    client.create_space(space, 8)
+    rng = np.random.default_rng(5)
+    vecs = {f"k{i}": rng.standard_normal(8).tolist() for i in range(100)}
+    client.multiset(space, vecs)
+    # by embeddings
+    got = client.nearest_neighbor_batch(
+        space, 1, embeddings=[vecs["k3"], vecs["k7"]]
+    )
+    assert got == [["k3"], ["k7"]]
+    # by keys (self-excluded)
+    got = client.nearest_neighbor_batch(space, 2, keys=["k3", "k7"])
+    assert all(len(g) == 2 for g in got)
+    assert "k3" not in got[0] and "k7" not in got[1]
+    # validation: both/none
+    with pytest.raises(grpc.RpcError) as e:
+        client.nearest_neighbor_batch(space, 1)
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    with pytest.raises(grpc.RpcError) as e:
+        client.nearest_neighbor_batch(
+            space, 1, keys=["k1"], embeddings=[vecs["k1"]]
+        )
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
