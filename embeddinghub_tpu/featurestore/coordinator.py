@@ -93,6 +93,7 @@ class Coordinator:
         def loop():
             ticks = 0
             while not self._stop.is_set():
+                self.schedule_refreshes()
                 self.run_pending_sync()
                 ticks += 1
                 if ticks % max(1, int(60 / max(poll_interval_s, 0.01))) == 0:
@@ -101,6 +102,33 @@ class Coordinator:
 
         self._thread = threading.Thread(target=loop, name="coordinator", daemon=True)
         self._thread.start()
+
+    def schedule_refreshes(self) -> int:
+        """Scheduled re-runs: tasks whose target declares
+        ``refresh_interval_s`` get a fresh PENDING run once the previous
+        READY run is older than the interval (the reference's CronJob
+        scheduling for sources/materializations)."""
+        import time as _time
+
+        created = 0
+        now = _time.time()
+        for task in list(self.tasks._tasks.values()):
+            res = self.metadata.maybe_get(task.target)
+            interval = getattr(res, "refresh_interval_s", 0) if res else 0
+            if not interval:
+                continue
+            runs = self.tasks.runs_for_task(task.id)
+            if not runs:
+                continue
+            last = max(runs, key=lambda r: r.run_id)
+            if (
+                last.status == RunStatus.READY
+                and last.ended_at is not None
+                and now - last.ended_at >= interval
+            ):
+                self.tasks.create_run(task.id, name=f"refresh {task.target}")
+                created += 1
+        return created
 
     def reconcile(self, stale_after_s: float = 300.0) -> int:
         """Failure detection: a RUNNING run whose owner died leaves its

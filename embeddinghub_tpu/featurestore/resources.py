@@ -145,6 +145,9 @@ class SourceVariant(Resource):
     rtype: ResourceType = ResourceType.SOURCE_VARIANT
     variant: str = "default"
     provider: str = ""
+    # re-run the source task every N seconds (the reference's CronJob
+    # scheduling, kubernetes.go:223-236); 0 = run once
+    refresh_interval_s: float = 0.0
     # primary data: {"table": ...} | {"path": ...}; transformation:
     # {"sql": "..."} or {"df": callable-name} with inputs
     primary: dict[str, Any] | None = None
@@ -189,6 +192,7 @@ class FeatureVariant(Resource):
     dims: int = 0                # embedding dims (value_type == embedding)
     is_embedding: bool = False
     on_demand_fn: Any = None     # client-side on-demand feature function
+    refresh_interval_s: float = 0.0  # scheduled re-materialization
 
     def needs_job(self) -> bool:
         return self.on_demand_fn is None  # materialization task

@@ -132,3 +132,36 @@ def test_columns_and_location_rpcs(client):
     assert "events" in loc.location
     ch.close()
     server.stop(0)
+
+
+def test_scheduled_refresh(client):
+    """Sources/features with refresh_interval_s re-run on schedule."""
+    import time
+
+    state = {"v": 1}
+    reg = client.registrar
+
+    @reg.df_transformation(
+        name="live", provider="wh", inputs=[("events", "default")],
+        refresh_interval_s=0.01,
+    )
+    def live(events):
+        return [{"user_id": r["user_id"], "val": state["v"]} for r in events]
+
+    reg.register_feature(
+        "liveval",
+        source=("live", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="val",
+        provider="cache",
+        refresh_interval_s=0.01,
+    )
+    client.apply()
+    assert client.features(["liveval"], {"user": "u1"}) == [1]
+    state["v"] = 2
+    time.sleep(0.05)
+    created = client.coordinator.schedule_refreshes()
+    assert created >= 2  # source + feature refresh runs
+    client.coordinator.run_pending_sync()
+    assert client.features(["liveval"], {"user": "u1"}) == [2]
