@@ -1,0 +1,136 @@
+"""Multi-host sharded-index dry run (BASELINE config 5 mechanics).
+
+Spawns N python processes, each with its own set of virtual CPU
+devices, joined through ``jax.distributed`` (the same runtime that
+spans DCN on real multi-host TPU pods).  The sharded search step —
+per-shard fused top-k + all-gather merge — is jitted over the GLOBAL
+mesh; each process holds only its local shard of the index and the
+collective crosses the process boundary.
+
+Run:  python benchmarks/multihost_dryrun.py [--procs 2] [--local-devices 4]
+Prints PASS plus the verified top-1 ids on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(process_id: int, num_processes: int, local_devices: int, port: int):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from embeddinghub_tpu.ops.topk import chunked_topk_search
+    from embeddinghub_tpu.parallel.mesh import SHARD_AXIS
+
+    n_dev = num_processes * local_devices
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), (SHARD_AXIS,))
+    cap_local, d, b, k = 128, 16, 8, 4
+    cap = cap_local * n_dev
+
+    rng = np.random.default_rng(0)
+    x_global = rng.standard_normal((cap, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    # plant exact matches so the result is verifiable
+    targets = np.arange(0, cap, cap // b)[:b]
+    x_global[targets] = q
+
+    row_shard = NamedSharding(mesh, P(SHARD_AXIS))
+    repl = NamedSharding(mesh, P())
+    # each process contributes only its local rows
+    xg = jax.make_array_from_callback(
+        (cap, d), row_shard, lambda idx: x_global[idx]
+    )
+    xsq = jax.make_array_from_callback(
+        (cap,),
+        row_shard,
+        lambda idx: np.einsum("nd,nd->n", x_global[idx[0]], x_global[idx[0]]),
+    )
+    valid = jax.make_array_from_callback(
+        (cap,), row_shard, lambda idx: np.ones(cap, bool)[idx]
+    )
+    qd = jax.device_put(q, repl)
+
+    def local_search(q, x, valid, x_sq):
+        dist, idx = chunked_topk_search(
+            q, x, valid, x_sq, metric="l2", k=k, chunk=cap_local
+        )
+        shard = jax.lax.axis_index(SHARD_AXIS)
+        idx = jnp.where(idx >= 0, idx + shard * cap_local, -1)
+        dg = jax.lax.all_gather(dist, SHARD_AXIS)
+        ig = jax.lax.all_gather(idx, SHARD_AXIS)
+        dd = jnp.transpose(dg, (1, 0, 2)).reshape(q.shape[0], -1)
+        ii = jnp.transpose(ig, (1, 0, 2)).reshape(q.shape[0], -1)
+        nd, pos = jax.lax.top_k(-dd, k)
+        return -nd, jnp.take_along_axis(ii, pos, axis=1)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(None, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+    )
+    dist, idx = fn(qd, xg, valid, xsq)
+    got = np.asarray(jax.device_get(idx))[:, 0]
+    assert (got == targets).all(), (got, targets)
+    if process_id == 0:
+        print(f"PASS multihost {num_processes}x{local_devices}: top-1 {got.tolist()}", flush=True)
+    jax.distributed.shutdown()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--port", type=int, default=29711)
+    ap.add_argument("--worker", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        worker(args.worker, args.procs, args.local_devices, args.port)
+        return
+
+    procs = []
+    for i in range(args.procs):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--worker", str(i),
+                    "--procs", str(args.procs),
+                    "--local-devices", str(args.local_devices),
+                    "--port", str(args.port),
+                ],
+            )
+        )
+    rc = [p.wait() for p in procs]
+    if any(rc):
+        raise SystemExit(f"worker failures: {rc}")
+
+
+if __name__ == "__main__":
+    main()
