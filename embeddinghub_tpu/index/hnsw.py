@@ -330,27 +330,118 @@ class HNSWIndex(Index):
             pvecs, self.ef_construction, levels
         )
 
-        # --- host link commit (sequential within the wave) ---
+        # --- batched device link commit: one prune dispatch per layer
+        # for the wave's forward links and one for the reciprocal
+        # re-prunes (replaces per-node host heuristic loops) ---
+        self._commit_wave_links(rows, pvecs, levels, searched_max, cand_ids)
         for j, r in enumerate(rows):
             r = int(r)
             lvl = int(levels[j])
             self._levels[r] = lvl
-            for layer in range(min(lvl, searched_max), -1, -1):
-                ids = cand_ids[layer][j]
-                dd = cand_d[layer][j]
-                keep = ids >= 0
-                ids, dd = ids[keep], dd[keep]
-                mmax = self.m0 if layer == 0 else self.m
-                sel = self._heuristic(ids, dd, self.m)
-                self._set_links(r, layer, sel)
-                for t in sel:
-                    self._add_reciprocal(int(t), r, layer, mmax)
             for layer in range(self._max_level + 1, lvl + 1):
                 self._upper.setdefault(layer, {})[r] = []
             if lvl > self._max_level:
                 self._entry, self._max_level = r, lvl
         # next wave must search the graph including this wave's links
         self._device_state = None
+
+    def _commit_wave_links(
+        self, rows, pvecs, levels, searched_max, cand_ids
+    ) -> None:
+        import jax.numpy as jnp
+
+        from embeddinghub_tpu.ops import nn_descent as nnd
+
+        state = self._device_arrays()
+        q_sq_all = np.einsum("wd,wd->w", pvecs, pvecs)
+        for layer in range(min(int(levels.max(initial=0)), searched_max), -1, -1):
+            members = [
+                j
+                for j in range(len(rows))
+                if min(int(levels[j]), searched_max) >= layer
+            ]
+            if not members:
+                continue
+            mmax = self.m0 if layer == 0 else self.m
+            ids = np.stack([cand_ids[layer][j] for j in members])
+            w = len(members)
+            wp = next_pow2(w, floor=8)
+            cw = min(next_pow2(ids.shape[1], floor=8), 128)
+            ids_p = np.full((wp, cw), -1, np.int64)
+            take = min(cw, ids.shape[1])
+            ids_p[:w, :take] = ids[:, :take]
+            q_p = np.zeros((wp, self.dims), np.float32)
+            q_p[:w] = pvecs[members]
+            qsq_p = np.zeros((wp,), np.float32)
+            qsq_p[:w] = q_sq_all[members]
+            cand_k = cw
+            pruned = np.asarray(
+                nnd.heuristic_prune(
+                    state["x"],
+                    state["x_sq"],
+                    jnp.asarray(ids_p),
+                    m_keep=self.m,
+                    metric="ip" if self.metric != "l2" else "l2",
+                    cand_k=cand_k,
+                    q=jnp.asarray(q_p),
+                    q_sq=jnp.asarray(qsq_p),
+                )
+            )[:w]
+
+            # forward links + reciprocal grouping (host bookkeeping only)
+            recip: dict[int, list[int]] = {}
+            for j_idx, j in enumerate(members):
+                r = int(rows[j])
+                sel = pruned[j_idx][pruned[j_idx] >= 0]
+                self._set_links(r, layer, sel)
+                for t in sel:
+                    recip.setdefault(int(t), []).append(r)
+
+            overflow_targets = []
+            overflow_cands = []
+            for t, new_ns in recip.items():
+                cur = self._links_of(t, layer)
+                if len(cur) + len(new_ns) <= mmax:
+                    self._set_links(
+                        t, layer, np.asarray(cur + new_ns, np.int64)
+                    )
+                else:
+                    cand = (cur + new_ns)[: 2 * mmax]
+                    overflow_targets.append(t)
+                    overflow_cands.append(cand)
+            if overflow_targets:
+                tcount = len(overflow_targets)
+                tp = next_pow2(tcount, floor=8)
+                width = next_pow2(2 * mmax, floor=8)
+                cm = np.full((tp, width), -1, np.int64)
+                for i, cand in enumerate(overflow_cands):
+                    cm[i, : len(cand)] = cand
+                tvecs = self._prep(self._hx[np.asarray(overflow_targets)])
+                tv_p = np.zeros((tp, self.dims), np.float32)
+                tv_p[:tcount] = tvecs
+                tsq_p = np.zeros((tp,), np.float32)
+                tsq_p[:tcount] = np.einsum("td,td->t", tvecs, tvecs)
+                pruned_t = np.asarray(
+                    nnd.heuristic_prune(
+                        state["x"],
+                        state["x_sq"],
+                        jnp.asarray(cm),
+                        m_keep=mmax,
+                        metric="ip" if self.metric != "l2" else "l2",
+                        cand_k=width,
+                        q=jnp.asarray(tv_p),
+                        q_sq=jnp.asarray(tsq_p),
+                    )
+                )[:tcount]
+                for i, t in enumerate(overflow_targets):
+                    sel = pruned_t[i][pruned_t[i] >= 0]
+                    self._set_links(t, layer, sel)
+
+    def _links_of(self, node: int, layer: int) -> list[int]:
+        if layer == 0:
+            lst = self._nb0[node]
+            return [int(v) for v in lst[lst >= 0]]
+        return list(self._upper.get(layer, {}).get(node, []))
 
     def _search_candidates(self, pvecs, ef, levels):
         """For each wave vector, beam-search every layer it links on.

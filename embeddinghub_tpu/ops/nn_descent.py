@@ -115,25 +115,31 @@ def nn_descent(
 
 @functools.partial(jax.jit, static_argnames=("m_keep", "metric", "cand_k"))
 def heuristic_prune(
-    x: jax.Array,        # [N, D]
+    x: jax.Array,        # [N, D] the full (metric-preprocessed) arena
     x_sq: jax.Array,
-    nb: jax.Array,       # [N, C] candidate ids sorted nearest-first
+    nb: jax.Array,       # [B, C] candidate ids (global rows), -1 padded
     *,
     m_keep: int,
     metric: str = "l2",
     cand_k: int = 64,
+    q: jax.Array | None = None,     # [B, D] query points; default x rows
+    q_sq: jax.Array | None = None,  # [B]
 ) -> jax.Array:
     """Batched hnswlib neighbor-selection heuristic: scanning candidates
     nearest-first, keep c iff d(c, node) < d(c, s) for every kept s.
-    Operates on the first ``cand_k`` candidates of each row."""
-    n = x.shape[0]
+    Operates on the first ``cand_k`` candidates of each row.  With
+    ``q=None`` rows of ``nb`` align with rows of ``x`` (bulk build);
+    explicit ``q`` serves wave inserts and reciprocal re-prunes."""
+    if q is None:
+        q = x
+        q_sq = x_sq
+    n = q.shape[0]
     cand = nb[:, :cand_k]
     safe = jnp.where(cand >= 0, cand, 0)
-    cvecs = x[safe]                                    # [N, K, D]
-    q = x
+    cvecs = x[safe]                                    # [B, K, D]
     dots = jnp.einsum("nkd,nd->nk", cvecs, q, preferred_element_type=jnp.float32)
     if metric == "l2":
-        d_q = x_sq[safe] - 2.0 * dots + x_sq[:, None]
+        d_q = x_sq[safe] - 2.0 * dots + q_sq[:, None]
     else:
         d_q = 1.0 - dots
     d_q = jnp.where(cand >= 0, d_q, INF)
