@@ -162,8 +162,20 @@ class FeatureService(pb_grpc.FeatureServicer):
                 rows = [(r.features(), r.label()) for r in ds]
                 if req.shuffle:
                     random.Random(req.random_state or 0).shuffle(rows)
-                test_n = int(len(rows) * (req.test_size or 0.2))
-                test, train = rows[:test_n], rows[test_n:]
+                n_total = len(rows)
+                if req.test_size:
+                    test_n = int(round(n_total * req.test_size))
+                elif req.train_size:
+                    test_n = n_total - int(round(n_total * req.train_size))
+                else:
+                    test_n = int(round(n_total * 0.2))
+                train_n = (
+                    int(round(n_total * req.train_size))
+                    if req.train_size
+                    else n_total - test_n
+                )
+                test = rows[:test_n]
+                train = rows[test_n : test_n + train_n]
                 resp = pb.BatchTrainTestSplitResponse(
                     request_type=pb.RequestType.INITIALIZE, initialized=True
                 )

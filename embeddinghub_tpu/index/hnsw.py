@@ -533,29 +533,6 @@ class HNSWIndex(Index):
             return np.flatnonzero(self._levels >= 0)
         return np.asarray(sorted(self._upper.get(layer, {})), np.int64)
 
-    def _heuristic(self, ids: np.ndarray, dd: np.ndarray, m: int) -> np.ndarray:
-        """hnswlib's getNeighborsByHeuristic2: scan candidates nearest
-        first; keep c iff it's closer to the query than to every
-        already-kept neighbor.  The candidate-candidate distance matrix
-        is computed once, vectorized; only the greedy scan is a loop."""
-        if ids.size == 0:
-            return ids.astype(np.int64)
-        order = np.argsort(dd, kind="stable")
-        ids, dd = ids[order], dd[order]
-        cv = self._prep(self._hx[ids])                      # [C, D]
-        if self.metric == "l2":
-            sq = np.einsum("cd,cd->c", cv, cv)
-            pair = sq[:, None] - 2.0 * (cv @ cv.T) + sq[None, :]
-        else:
-            pair = 1.0 - cv @ cv.T
-        kept_pos: list[int] = []
-        for c in range(len(ids)):
-            if len(kept_pos) >= m:
-                break
-            if not kept_pos or pair[c, kept_pos].min() >= dd[c]:
-                kept_pos.append(c)
-        return ids[kept_pos].astype(np.int64)
-
     def _set_links(self, r: int, layer: int, targets: np.ndarray) -> None:
         if layer == 0:
             lst = np.full((self.m0,), -1, np.int32)
@@ -563,31 +540,6 @@ class HNSWIndex(Index):
             self._nb0[r] = lst
         else:
             self._upper.setdefault(layer, {})[r] = [int(t) for t in targets]
-
-    def _add_reciprocal(self, t: int, r: int, layer: int, mmax: int) -> None:
-        if layer == 0:
-            lst = self._nb0[t]
-            if r in lst:
-                return
-            free = np.flatnonzero(lst < 0)
-            if free.size:
-                lst[free[0]] = r
-                return
-            # overflow: re-prune t's neighborhood with the heuristic
-            cand = np.append(lst[lst >= 0], r)
-        else:
-            cur = self._upper.setdefault(layer, {}).setdefault(t, [])
-            if r in cur:
-                return
-            if len(cur) < mmax:
-                cur.append(r)
-                return
-            cand = np.asarray(cur + [r], np.int64)
-        tv = self._prep(self._hx[t][None, :])[0]
-        cv = self._prep(self._hx[cand])
-        dd = self._dist(cv, tv[None, :])
-        sel = self._heuristic(cand.astype(np.int64), dd, mmax)
-        self._set_links(t, layer, sel)
 
     # ----------------------------------------------------------------- search
 

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 INF = float("inf")
 
 
-def _kernel(q_ref, xt_ref, sq_ref, valid_ref, od_ref, oi_ref, comb, best_d, best_i, *, k, metric, n_chunks, chunk):
+def _kernel(q_ref, xt_ref, sq_ref, valid_ref, od_ref, oi_ref, comb, best_d, best_i, *, k, metric, n_chunks, chunk, exact):
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
@@ -35,14 +35,23 @@ def _kernel(q_ref, xt_ref, sq_ref, valid_ref, od_ref, oi_ref, comb, best_d, best
         best_d[:] = jnp.full_like(best_d, INF)
         best_i[:] = jnp.full_like(best_i, -1)
 
-    # --- score this chunk on the MXU (HIGHEST: keep f32 operand bits;
-    # the default truncates operands to bf16) ---
-    dots = jnp.dot(
-        q_ref[:],
-        xt_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, C]
+    # --- score this chunk on the MXU.  exact=True keeps f32 operand
+    # bits (HIGHEST; the default silently truncates operands to bf16);
+    # exact=False takes the native bf16 MXU path: ~3x the matmul rate
+    # and half the VMEM traffic at ranking-grade precision ---
+    if exact:
+        dots = jnp.dot(
+            q_ref[:],
+            xt_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, C]
+    else:
+        dots = jnp.dot(
+            q_ref[:].astype(jnp.bfloat16),
+            xt_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     if metric == "l2":
         score = sq_ref[0, :].reshape(1, -1) - 2.0 * dots
     else:
@@ -86,7 +95,8 @@ def _kernel(q_ref, xt_ref, sq_ref, valid_ref, od_ref, oi_ref, comb, best_d, best
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk", "block_b", "interpret")
+    jax.jit,
+    static_argnames=("k", "metric", "chunk", "block_b", "interpret", "exact"),
 )
 def fused_topk_search(
     q: jax.Array,      # [B, D] f32
@@ -99,6 +109,7 @@ def fused_topk_search(
     chunk: int = 2048,
     block_b: int = 256,
     interpret: bool = False,
+    exact: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN via the fused Pallas kernel.  ``cap`` must be a chunk
     multiple and ``B`` a block multiple (callers pad)."""
@@ -113,7 +124,7 @@ def fused_topk_search(
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
 
     kernel = functools.partial(
-        _kernel, k=k, metric=metric, n_chunks=n_chunks, chunk=chunk
+        _kernel, k=k, metric=metric, n_chunks=n_chunks, chunk=chunk, exact=exact
     )
     out_d, out_i = pl.pallas_call(
         kernel,
