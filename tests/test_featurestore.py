@@ -270,3 +270,26 @@ def test_delete_resource_guard(client):
         )
         is None
     )
+
+
+def test_primary_data_from_csv(client, tmp_path):
+    csv_path = tmp_path / "users.csv"
+    csv_path.write_text("user_id,score\nu1,5\nu2,9\n")
+    reg = client.registrar
+    reg.register_sqlite_offline("csvwh")
+    reg.register_memory_online("csvcache")
+    reg.register_entity("user")
+    reg.register_primary_data(
+        "csv_events", provider="csvwh", location={"csv": str(csv_path)}
+    )
+    reg.register_feature(
+        "csv_score",
+        source=("csv_events", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="score",
+        provider="csvcache",
+    )
+    client.apply()
+    # csv values arrive as strings from DictReader; served verbatim
+    assert client.features(["csv_score"], {"user": "u2"}) == ["9"]
