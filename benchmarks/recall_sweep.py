@@ -41,7 +41,23 @@ def load_data(args):
         gt = z["neighbors"][:, : args.k] if "neighbors" in z else None
         return train, test, gt
     rng = np.random.default_rng(0)
-    if args.clustered:
+    if args.sift_like:
+        # SIFT-style structure: hierarchical clusters with varying
+        # spread + heavy-tailed magnitudes (local intrinsic dimension
+        # far below D, like real descriptor data)
+        n_top, n_sub = 32, 8
+        top = rng.standard_normal((n_top, args.dims)) * 6
+        sub = top[:, None, :] + rng.standard_normal((n_top, n_sub, args.dims)) * 2
+        sub = sub.reshape(-1, args.dims)
+        spread = rng.uniform(0.3, 1.2, size=len(sub))
+
+        def sample(count):
+            a = rng.integers(0, len(sub), size=count)
+            pts = sub[a] + rng.standard_normal((count, args.dims)) * spread[a][:, None]
+            return pts
+
+        train, test = sample(args.n), sample(args.nq)
+    elif args.clustered:
         centers = rng.standard_normal((64, args.dims)) * 4
         assign = rng.integers(0, 64, size=args.n)
         train = centers[assign] + rng.standard_normal((args.n, args.dims))
@@ -91,6 +107,7 @@ def main():
     ap.add_argument("--engines", default="flat,approx,cpu")
     ap.add_argument("--data", default=None)
     ap.add_argument("--clustered", action="store_true")
+    ap.add_argument("--sift-like", action="store_true", dest="sift_like")
     args = ap.parse_args()
 
     train, test, gt = load_data(args)

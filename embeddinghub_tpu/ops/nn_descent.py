@@ -134,52 +134,70 @@ def heuristic_prune(
         q = x
         q_sq = x_sq
     n = q.shape[0]
-    cand = nb[:, :cand_k]
-    safe = jnp.where(cand >= 0, cand, 0)
-    cvecs = x[safe]                                    # [B, K, D]
-    dots = jnp.einsum("nkd,nd->nk", cvecs, q, preferred_element_type=jnp.float32)
-    if metric == "l2":
-        d_q = x_sq[safe] - 2.0 * dots + q_sq[:, None]
-    else:
-        d_q = 1.0 - dots
-    d_q = jnp.where(cand >= 0, d_q, INF)
+    # Process rows in blocks: the [B, K, K] candidate-pair matrix is the
+    # memory hot spot (K=128 at 1M rows would be 65 GB unblocked).
+    block = 4096
+    while n % block:
+        block //= 2
 
-    # pairwise distances among candidates [N, K, K]
-    pr = jnp.einsum(
-        "nkd,njd->nkj", cvecs, cvecs, preferred_element_type=jnp.float32
-    )
-    if metric == "l2":
-        pair = x_sq[safe][:, :, None] - 2.0 * pr + x_sq[safe][:, None, :]
-    else:
-        pair = 1.0 - pr
-
-    order = jnp.argsort(d_q, axis=1)
-    # kept mask built greedily over the sorted order
-    kept = jnp.zeros((n, cand_k), bool)
-
-    def body(i, kept):
-        ci = order[:, i]                               # candidate position
-        d_ci = jnp.take_along_axis(d_q, ci[:, None], axis=1)[:, 0]
-        # min distance from candidate ci to already-kept candidates
-        pair_ci = jnp.take_along_axis(
-            pair, ci[:, None, None], axis=1
-        )[:, 0, :]                                      # [N, K]
-        masked = jnp.where(kept, pair_ci, INF)
-        closest_kept = jnp.min(masked, axis=1)
-        n_kept = jnp.sum(kept, axis=1)
-        ok = (
-            jnp.isfinite(d_ci)
-            & (n_kept < m_keep)
-            & ((closest_kept >= d_ci) | (n_kept == 0))
+    def prune_block(args):
+        qb, qsqb, nbb = args
+        b = qb.shape[0]
+        cand = nbb[:, :cand_k]
+        safe = jnp.where(cand >= 0, cand, 0)
+        cvecs = x[safe]                                # [B, K, D]
+        dots = jnp.einsum(
+            "nkd,nd->nk", cvecs, qb, preferred_element_type=jnp.float32
         )
-        onehot = (
-            jnp.arange(cand_k)[None, :] == ci[:, None]
-        ) & ok[:, None]
-        return kept | onehot
+        if metric == "l2":
+            d_q = x_sq[safe] - 2.0 * dots + qsqb[:, None]
+        else:
+            d_q = 1.0 - dots
+        d_q = jnp.where(cand >= 0, d_q, INF)
 
-    kept = jax.lax.fori_loop(0, cand_k, body, kept)
-    # emit kept candidate ids, nearest-first, -1 padded
-    keep_d = jnp.where(kept, d_q, INF)
-    nd, pos = jax.lax.top_k(-keep_d, m_keep)
-    out = jnp.take_along_axis(cand, pos, axis=1)
-    return jnp.where(jnp.isfinite(-nd), out, -1).astype(jnp.int32)
+        pr = jnp.einsum(
+            "nkd,njd->nkj", cvecs, cvecs, preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            pair = x_sq[safe][:, :, None] - 2.0 * pr + x_sq[safe][:, None, :]
+        else:
+            pair = 1.0 - pr
+
+        order = jnp.argsort(d_q, axis=1)
+        kept = jnp.zeros((b, cand_k), bool)
+
+        def body(i, kept):
+            ci = order[:, i]                           # candidate position
+            d_ci = jnp.take_along_axis(d_q, ci[:, None], axis=1)[:, 0]
+            pair_ci = jnp.take_along_axis(
+                pair, ci[:, None, None], axis=1
+            )[:, 0, :]                                  # [B, K]
+            masked = jnp.where(kept, pair_ci, INF)
+            closest_kept = jnp.min(masked, axis=1)
+            n_kept = jnp.sum(kept, axis=1)
+            ok = (
+                jnp.isfinite(d_ci)
+                & (n_kept < m_keep)
+                & ((closest_kept >= d_ci) | (n_kept == 0))
+            )
+            onehot = (
+                jnp.arange(cand_k)[None, :] == ci[:, None]
+            ) & ok[:, None]
+            return kept | onehot
+
+        kept = jax.lax.fori_loop(0, cand_k, body, kept)
+        keep_d = jnp.where(kept, d_q, INF)
+        nd, pos = jax.lax.top_k(-keep_d, m_keep)
+        out = jnp.take_along_axis(cand, pos, axis=1)
+        return jnp.where(jnp.isfinite(-nd), out, -1).astype(jnp.int32)
+
+    nblk = n // block
+    out = jax.lax.map(
+        prune_block,
+        (
+            q.reshape(nblk, block, -1),
+            q_sq.reshape(nblk, block),
+            nb.reshape(nblk, block, -1),
+        ),
+    )
+    return out.reshape(n, m_keep)
