@@ -75,14 +75,22 @@ class QueryBatcher:
     def _execute(self, batch: list[_QueryItem]) -> None:
         import numpy as np
 
-        groups: dict[int, list[_QueryItem]] = {}
-        versions: dict[int, object] = {}
+        def _kbucket(fetch: int) -> int:
+            b = 8
+            while b < fetch:
+                b *= 2
+            return b
+
+        # group by (version, fetch bucket): a k=500 straggler should not
+        # inflate the fetch of a thousand k=10 queries
+        groups: dict[tuple[int, int], list[_QueryItem]] = {}
+        versions: dict[tuple[int, int], object] = {}
         for item in batch:
-            vid = id(item.version)
-            groups.setdefault(vid, []).append(item)
-            versions[vid] = item.version
-        for vid, items in groups.items():
-            version = versions[vid]
+            gid = (id(item.version), _kbucket(item.fetch))
+            groups.setdefault(gid, []).append(item)
+            versions[gid] = item.version
+        for gid, items in groups.items():
+            version = versions[gid]
             try:
                 queries = np.stack([np.asarray(i.vector, np.float32) for i in items])
                 kmax = max(i.fetch for i in items)
