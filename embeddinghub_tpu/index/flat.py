@@ -5,8 +5,8 @@ turns exhaustive search into a bandwidth-bound streaming matmul, so for
 index sizes that fit one chip's HBM, *exact* search is both faster than a
 graph walk for batched queries and gives recall 1.0 by construction —
 strictly dominating the reference's hnswlib defaults (recall@10 targets
-in BASELINE.md).  Graph/IVF indexes exist for larger-than-HBM regimes
-(:mod:`embeddinghub_tpu.index.hnsw`, :mod:`embeddinghub_tpu.index.ivf`).
+in BASELINE.md).  The graph index exists for larger-than-HBM / latency-
+bound regimes (:mod:`embeddinghub_tpu.index.hnsw`).
 
 Replaces: reference ``embeddingstore/index.cc`` (hnswlib wrapper).
 Growth policy matches the reference: capacity starts small and doubles

@@ -635,7 +635,13 @@ class HNSWIndex(Index):
             "levels": self._levels,
             "nb0": self._nb0,
             "meta": np.asarray(
-                [self._entry, self._max_level, self.m, self.ef_construction],
+                [
+                    self._entry,
+                    self._max_level,
+                    self.m,
+                    self.ef_construction,
+                    self.ef_search,
+                ],
                 np.int64,
             ),
         }
@@ -652,6 +658,8 @@ class HNSWIndex(Index):
         cls, dims: int, metric: str, arrays: dict[str, np.ndarray], **kw
     ) -> "HNSWIndex":
         meta = arrays["meta"]
+        if len(meta) >= 5 and "ef_search" not in kw:
+            kw = dict(kw, ef_search=int(meta[4]))
         idx = cls(
             dims,
             metric=metric,

@@ -274,11 +274,20 @@ def run_server(address: str, data_dir: str | None = "embedding_store.dat") -> No
 
 
 def main(argv: list[str] | None = None) -> None:
-    argv = argv if argv is not None else sys.argv[1:]
+    import argparse
+
     cfg = get_config()
-    address = argv[0] if argv else f"{cfg.host}:{cfg.port}"
-    data_dir = argv[1] if len(argv) > 1 else cfg.data_dir
-    run_server(address, data_dir)
+    ap = argparse.ArgumentParser(
+        prog="embeddinghub_tpu.service.server",
+        description="EmbeddingHub gRPC server (reference main.cc parity: "
+        "positional listen address, default 0.0.0.0:7462).",
+    )
+    ap.add_argument("address", nargs="?", default=f"{cfg.host}:{cfg.port}")
+    ap.add_argument("data_dir_pos", nargs="?", default=None,
+                    help="data directory (positional, reference style)")
+    ap.add_argument("--data-dir", dest="data_dir", default=None)
+    ns = ap.parse_args(argv if argv is not None else sys.argv[1:])
+    run_server(ns.address, ns.data_dir or ns.data_dir_pos or cfg.data_dir)
 
 
 if __name__ == "__main__":

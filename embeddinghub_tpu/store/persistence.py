@@ -36,12 +36,26 @@ _TAG_FREEZE = 3
 
 
 class VersionWal:
-    """Append-only write log for one version."""
+    """Append-only write log for one version.
 
-    def __init__(self, path: str | Path):
+    Durability: by default appends are flushed to the OS page cache
+    (``f.flush()``), which survives process crashes (SIGKILL) but not
+    power loss / kernel panics — the same guarantee the reference gets
+    from RocksDB's default WAL settings.  Pass ``fsync=True`` for
+    group-committed ``os.fsync`` per append batch (power-loss durable,
+    slower).
+    """
+
+    def __init__(self, path: str | Path, fsync: bool = False):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._f = open(self.path, "ab")
+        self._fsync = bool(fsync)
+
+    def _commit(self) -> None:
+        self._f.flush()
+        if self._fsync:
+            os.fsync(self._f.fileno())
 
     def append_many(self, keys: list[str], vecs: np.ndarray) -> None:
         parts = []
@@ -53,16 +67,16 @@ class VersionWal:
             parts.append(struct.pack("<I", dims))
             parts.append(np.ascontiguousarray(vec, dtype="<f4").tobytes())
         self._f.write(b"".join(parts))
-        self._f.flush()
+        self._commit()
 
     def append_delete(self, key: str) -> None:
         kb = key.encode("utf-8")
         self._f.write(struct.pack("<BI", _TAG_DELETE, len(kb)) + kb)
-        self._f.flush()
+        self._commit()
 
     def append_freeze(self) -> None:
         self._f.write(struct.pack("<B", _TAG_FREEZE))
-        self._f.flush()
+        self._commit()
 
     def close(self) -> None:
         self._f.close()
@@ -88,16 +102,22 @@ class VersionWal:
                 if tag == _TAG_SET:
                     (klen,) = struct.unpack_from("<I", data, off)
                     off += 4
+                    if off + klen > n:
+                        return  # torn tail inside key bytes
                     key = data[off : off + klen].decode("utf-8")
                     off += klen
                     (dims,) = struct.unpack_from("<I", data, off)
                     off += 4
+                    if off + 4 * dims > n:
+                        return  # torn tail inside vector bytes
                     vec = np.frombuffer(data, dtype="<f4", count=dims, offset=off)
                     off += 4 * dims
                     yield ("set", key, np.array(vec))
                 elif tag == _TAG_DELETE:
                     (klen,) = struct.unpack_from("<I", data, off)
                     off += 4
+                    if off + klen > n:
+                        return
                     key = data[off : off + klen].decode("utf-8")
                     off += klen
                     yield ("delete", key)
@@ -105,7 +125,7 @@ class VersionWal:
                     yield ("freeze",)
                 else:
                     return  # corrupt tail
-            except (struct.error, UnicodeDecodeError):
+            except (struct.error, ValueError, UnicodeDecodeError):
                 return  # torn tail
 
 
@@ -140,8 +160,20 @@ def _index_registry() -> dict:
 
 
 def save_version(vdir: str | Path, version) -> None:
+    """Snapshot into a FRESH uniquely-named directory, then atomically
+    repoint meta.json at it.  This makes the array set atomic with the
+    metadata (a crash mid-save leaves meta pointing at the previous
+    complete snapshot) and prevents stale ``.npy`` files from an earlier,
+    differently-shaped snapshot being resurrected on load."""
     vdir = Path(vdir)
-    (vdir / "index").mkdir(parents=True, exist_ok=True)
+    vdir.mkdir(parents=True, exist_ok=True)
+    existing = sorted(vdir.glob("index-*"))
+    gen = 1 + max(
+        (int(p.name.split("-")[1]) for p in existing if p.name.split("-")[1].isdigit()),
+        default=-1,
+    )
+    snap = vdir / f"index-{gen:06d}"
+    snap.mkdir()
     meta = {
         "space": version.space,
         "name": version.name,
@@ -149,15 +181,22 @@ def save_version(vdir: str | Path, version) -> None:
         "metric": version.metric,
         "immutable": version.immutable,
         "index_type": type(version.index).__name__,
+        "index_dir": snap.name,
         "keymap": version.keymap.to_state(),
     }
     for arr_name, arr in version.index.state_arrays().items():
-        np.save(vdir / "index" / f"{arr_name}.npy", arr)
+        np.save(snap / f"{arr_name}.npy", arr)
     tmp = vdir / "meta.json.tmp"
     tmp.write_text(json.dumps(meta))
     os.replace(tmp, vdir / "meta.json")
     if version._wal is not None:
         version._wal.truncate()
+    # Old snapshot dirs (and the legacy flat index/ dir) are now garbage.
+    import shutil
+
+    for p in existing + [vdir / "index"]:
+        if p != snap and p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def load_version(vdir: str | Path, wal_path: str | Path | None = None):
@@ -166,9 +205,8 @@ def load_version(vdir: str | Path, wal_path: str | Path | None = None):
 
     vdir = Path(vdir)
     meta = json.loads((vdir / "meta.json").read_text())
-    arrays = {
-        p.stem: np.load(p) for p in sorted((vdir / "index").glob("*.npy"))
-    }
+    snap = vdir / meta.get("index_dir", "index")
+    arrays = {p.stem: np.load(p) for p in sorted(snap.glob("*.npy"))}
     index_cls = _index_registry()[meta["index_type"]]
     index = index_cls.from_state(meta["dims"], meta["metric"], arrays)
     version = Version(

@@ -70,6 +70,14 @@ class Version:
             vecs.append(v)
         if not keys:
             return
+        if len(set(keys)) != len(keys):
+            # Dedup keep-last: duplicate keys in one batch would map to
+            # the same row twice, inflating index size counters and
+            # (for HNSW) inserting duplicate neighbor entries in a wave.
+            last = {k: i for i, k in enumerate(keys)}
+            order = sorted(last.values())
+            keys = [keys[i] for i in order]
+            vecs = [vecs[i] for i in order]
         rows = self.keymap.assign_many(keys)
         mat = np.stack(vecs)
         self.index.add(rows, mat)

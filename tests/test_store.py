@@ -6,6 +6,8 @@ WAL/snapshot persistence model (reference persisted via RocksDB and
 rebuilt indexes from scans, ``version.cc:64-74``).
 """
 
+import json
+
 import numpy as np
 import pytest
 
@@ -163,3 +165,46 @@ def test_persistence_search_after_reload(tmp_path):
     v2 = hub2.get_version("s")
     assert v2.nearest(1, key="k7") != ["k7"]
     assert v2.nearest(1, vector=vecs[7]) == ["k7"]
+
+
+def test_multiset_duplicate_keys_keep_last():
+    """Duplicate keys in one batch must not inflate the size counter and
+    must honor last-write-wins (ADVICE r1)."""
+    v = Version("s", "initial", 4)
+    v.multiset([("a", [1, 0, 0, 0]), ("b", [0, 1, 0, 0]), ("a", [9, 9, 9, 9])])
+    assert v.size == 2
+    assert v.index.size == 2
+    assert list(v.get("a")) == [9, 9, 9, 9]
+
+
+def test_snapshot_dirs_are_fresh_and_stale_arrays_dropped(tmp_path):
+    """Each save_version writes a fresh index-NNNNNN dir; arrays from an
+    older snapshot (e.g. an upper-level file from a taller HNSW) must not
+    leak into a reload (ADVICE r1)."""
+    from embeddinghub_tpu.store import persistence
+
+    v = Version("s", "initial", 4)
+    v.multiset([(f"k{i}", np.eye(4, dtype=np.float32)[i % 4]) for i in range(8)])
+    persistence.save_version(tmp_path, v)
+    first = json.loads((tmp_path / "meta.json").read_text())["index_dir"]
+    # plant a stale array in the first snapshot dir, then save again
+    np.save(tmp_path / first / "stale_upper9.npy", np.zeros((2, 3)))
+    v.multiset([("extra", [1, 1, 1, 1])])
+    persistence.save_version(tmp_path, v)
+    second = json.loads((tmp_path / "meta.json").read_text())["index_dir"]
+    assert second != first
+    assert not (tmp_path / first).exists()  # old snapshot garbage-collected
+    v2 = persistence.load_version(tmp_path)
+    assert v2.size == 9 and "extra" in v2
+
+
+def test_hnsw_ef_search_persisted(tmp_path):
+    from embeddinghub_tpu.index.hnsw import HNSWIndex
+    from embeddinghub_tpu.store import persistence
+
+    idx = HNSWIndex(4, m=4, ef_construction=16, ef_search=77)
+    v = Version("s", "initial", 4, index=idx)
+    v.multiset([(f"k{i}", np.random.default_rng(i).standard_normal(4)) for i in range(20)])
+    persistence.save_version(tmp_path, v)
+    v2 = persistence.load_version(tmp_path)
+    assert v2.index.ef_search == 77

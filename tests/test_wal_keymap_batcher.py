@@ -104,3 +104,32 @@ def test_config_env_parsing(monkeypatch):
     assert cfg.port == 9999
     assert cfg.engine == "hnsw"
     assert cfg.default_metric == "cosine"
+
+
+def test_wal_torn_tail_inside_vector_bytes(tmp_path):
+    """Truncation landing inside a set record's float payload must stop
+    replay cleanly, not raise (ADVICE r1: np.frombuffer ValueError)."""
+    p = tmp_path / "wal.bin"
+    w = VersionWal(p)
+    w.append_many(["alpha", "beta"], np.arange(16, dtype=np.float32).reshape(2, 8))
+    w.close()
+    data = p.read_bytes()
+    # cut inside the SECOND record's vector bytes (keep first intact)
+    rec = 1 + 4 + 5 + 4 + 32  # tag, klen, "alpha", dims, 8 floats
+    p.write_bytes(data[: rec + 20])
+    recs = list(VersionWal.replay(p))
+    assert len(recs) == 1 and recs[0][1] == "alpha"
+    # cut inside the second record's KEY bytes
+    p.write_bytes(data[: rec + 3])
+    recs = list(VersionWal.replay(p))
+    assert len(recs) == 1
+
+
+def test_wal_fsync_mode(tmp_path):
+    w = VersionWal(tmp_path / "wal.bin", fsync=True)
+    w.append_many(["k"], np.ones((1, 4), np.float32))
+    w.append_delete("k")
+    w.append_freeze()
+    w.close()
+    recs = list(VersionWal.replay(tmp_path / "wal.bin"))
+    assert [r[0] for r in recs] == ["set", "delete", "freeze"]
