@@ -57,6 +57,7 @@ class HNSWIndex(Index):
         capacity: int = 1024,
         expand: int = 8,
         seed: int = 100,
+        refine_rounds: int = 3,
     ):
         if metric not in dist_ops.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
@@ -67,6 +68,11 @@ class HNSWIndex(Index):
         self.ef_construction = int(ef_construction)
         self.ef_search = int(ef_search)
         self.expand = int(expand)
+        self.refine_rounds = int(refine_rounds)
+        # bulk-build tuning knobs (semantics-preserving; see _bulk_refine)
+        self.refine_expand = 32
+        self.refine_hops = 32
+        self.nnd_iters = 4
         self._mult = 1.0 / math.log(self.m)
         self._rng = np.random.default_rng(seed)
 
@@ -175,7 +181,8 @@ class HNSWIndex(Index):
 
         m0 = min(self.m0, 32)
         nb = nnd.nn_descent(
-            xd, xsq, m=m0, iters=8, block=block, metric=self.metric
+            xd, xsq, m=m0, iters=self.nnd_iters, block=block,
+            metric=self.metric,
         )
         # symmetrize: forward ++ reverse-sample candidates, then prune
         # (wider candidate enrichment measured WORSE here: diversity
@@ -188,26 +195,39 @@ class HNSWIndex(Index):
         pruned = nnd.heuristic_prune(
             xd, xsq, cand, m_keep=self.m0, metric=self.metric, cand_k=2 * m0
         )
-        pruned = np.asarray(pruned)[:n]
+        nb_local = np.asarray(pruned).astype(np.int32)
+        nb_local[n:] = -1
+        nb_local = np.where(nb_local >= n, -1, nb_local)  # drop pad targets
+
+        # Refinement: re-search every node against the current graph with
+        # ef=ef_construction and re-select links — the batched equivalent
+        # of hnswlib re-inserting every point into the *finished* graph
+        # (a strictly better candidate pool than sequential insertion
+        # sees).  This supplies the medium-range "search path" edges the
+        # pure kNN rows lack, which is what closed the recall gap
+        # (0.93 -> 0.99 on SIFT-like; see benchmarks/graph_quality.py).
+        nb_local = self._bulk_refine(xd, xsq, nb_local, n, padded)
+
+        # Connectivity insurance: random long-range edges into FREE
+        # slots only (never overwriting selected links).  NN-descent on
+        # clustered data can converge to per-cluster islands; hnswlib
+        # avoids this implicitly via insertion-order long edges.
+        rng_e = np.random.default_rng(7)
+        n_rand = min(3, self.m0 - 1)
+        deg = (nb_local[:n] >= 0).sum(1)
+        rand_local = rng_e.integers(0, n, size=(n, n_rand)).astype(np.int32)
+        rand_local[rand_local == np.arange(n, dtype=np.int32)[:, None]] = -1
+        cols = deg[:, None] + np.arange(n_rand)[None, :]
+        ok = (cols < self.m0) & (rand_local >= 0)
+        rows_i = np.repeat(np.arange(n), n_rand).reshape(n, n_rand)
+        nb_local[rows_i[ok], cols[ok]] = rand_local[ok]
 
         # local (position) ids -> global row ids; padding/-1 dropped
         local_to_row = rows.astype(np.int64)
-        valid = (pruned >= 0) & (pruned < n)
-        mapped = np.where(valid, local_to_row[np.clip(pruned, 0, n - 1)], -1)
-
-        # Connectivity insurance: NN-descent on clustered data converges
-        # to per-cluster islands (hnswlib avoids this implicitly via
-        # insertion-order long edges). Reserve the last slots of each
-        # row for random long-range edges — the small-world shortcut
-        # that lets greedy/beam search cross clusters.
-        rng_e = np.random.default_rng(7)
-        n_rand = min(3, self.m0 - 1)
-        rand_local = rng_e.integers(0, n, size=(n, n_rand))
-        rand_global = local_to_row[rand_local]
-        rand_global = np.where(
-            rand_local == np.arange(n)[:, None], -1, rand_global
+        valid = (nb_local[:n] >= 0) & (nb_local[:n] < n)
+        mapped = np.where(
+            valid, local_to_row[np.clip(nb_local[:n], 0, n - 1)], -1
         )
-        mapped[:, self.m0 - n_rand :] = rand_global
         self._nb0[rows] = mapped.astype(np.int32)
 
         # levels + upper layers
@@ -253,6 +273,142 @@ class HNSWIndex(Index):
         top_nodes = np.flatnonzero(levels == top)
         self._entry = int(local_to_row[top_nodes[0]])
         self._max_level = top
+
+    # ---------------------------------------------------------- bulk refine
+
+    def _bulk_refine(
+        self, xd, xsqd, nb_local: np.ndarray, n: int, padded: int
+    ) -> np.ndarray:
+        """Vamana-style refinement rounds over the layer-0 graph (local id
+        space).  Per round: (1) beam-search every node on the current
+        graph from a medoid entry with ef=ef_construction — the same
+        candidate pool hnswlib's ``addPoint`` sees (``searchBaseLayer``'s
+        final ef heap); (2) heuristic-select forward links at full M0
+        width; (3) re-symmetrize reciprocal edges, heuristic-pruning only
+        overflowing rows (hnswlib ``prune_node`` semantics)."""
+        from embeddinghub_tpu.ops import nn_descent as nnd
+
+        if self.refine_rounds <= 0 or n < 8:
+            return nb_local
+        m0 = self.m0
+        ef_final = min(self.ef_construction, 512)
+        # Escalating ef schedule: early rounds only improve the graph's
+        # *structure* (their pool feeds the next round's search), so a
+        # small pool suffices; only the final round needs the full
+        # hnswlib-equal ef_construction pool for link selection.
+        schedule = [min(64, ef_final)] * (self.refine_rounds - 1) + [ef_final]
+        validd = jnp.zeros((padded,), bool).at[:n].set(True)
+
+        # medoid of the live rows as the search entry (Vamana's choice;
+        # plays the role of hnswlib's top-layer entry point)
+        xh = np.asarray(xd[:n])
+        mean = xh.mean(0)
+        if self.metric == "l2":
+            entry_local = int(((xh - mean) ** 2).sum(1).argmin())
+        else:
+            entry_local = int((xh @ mean).argmax())
+
+        bq = 4096 if n >= 4096 else next_pow2(n, floor=8)
+        ids_self = np.arange(n, dtype=np.int32)
+        for ef in schedule:
+            nbd = jnp.asarray(nb_local)
+            # device-pipelined search: no per-block host sync; one
+            # readback per round
+            blocks = []
+            for s in range(0, n, bq):
+                e = min(s + bq, n)
+                q = np.broadcast_to(xh[s], (bq, self.dims)).copy()
+                q[: e - s] = xh[s:e]
+                _, idsb = beam_ops.beam_search(
+                    jnp.asarray(q),
+                    jnp.full((bq,), entry_local, jnp.int32),
+                    nbd,
+                    xd,
+                    xsqd,
+                    validd,
+                    metric=self.metric,
+                    ef=ef,
+                    expand=self.refine_expand,
+                    max_hops=self.refine_hops,
+                )
+                blocks.append(idsb)
+            found = np.asarray(jnp.concatenate(blocks, axis=0))[:n]
+            cand = np.full((padded, ef + m0), -1, np.int32)
+            cand[:n, :ef] = found
+            cand[:n, ef:] = nb_local[:n]
+            cand[:n][cand[:n] == ids_self[:, None]] = -1
+            pruned = np.asarray(
+                nnd.heuristic_prune(
+                    xd,
+                    xsqd,
+                    jnp.asarray(cand),
+                    m_keep=m0,
+                    metric=self.metric,
+                    cand_k=ef + m0,
+                )
+            ).astype(np.int32)
+            pruned[n:] = -1
+            nb_local = self._symmetrize_local(pruned, xd, xsqd, n, padded)
+        return nb_local
+
+    def _symmetrize_local(
+        self, fwd: np.ndarray, xd, xsqd, n: int, padded: int
+    ) -> np.ndarray:
+        """Add reciprocal edges to the forward-pruned lists.  Rows that
+        stay within M0 keep every edge un-re-pruned (hnswlib only prunes
+        a neighbor list when it overflows); overflowing rows go through
+        one batched heuristic prune over (current ∪ incoming)."""
+        from embeddinghub_tpu.ops import nn_descent as nnd
+
+        m0 = self.m0
+        F = fwd[:n]
+        flat = F.ravel()
+        ve = flat >= 0
+        src = np.repeat(np.arange(n, dtype=np.int32), m0)[ve]
+        dst = flat[ve]
+        indeg = np.bincount(dst, minlength=n)
+        cap = 3 * m0
+        order = np.argsort(dst, kind="stable")
+        gd, gs = dst[order], src[order]
+        starts = np.zeros(n + 1, np.int64)
+        starts[1:] = np.cumsum(indeg)
+        pos = np.arange(len(gd)) - starts[gd]
+        keep = pos < cap
+        rev = np.full((n, cap), -1, np.int32)
+        rev[gd[keep], pos[keep].astype(np.int64)] = gs[keep]
+
+        comb = np.concatenate([F, rev], axis=1)
+        comb = np.sort(comb, axis=1)[:, ::-1]  # valid ids first, -1 last
+        comb[:, 1:][comb[:, 1:] == comb[:, :-1]] = -1
+        comb = np.sort(comb, axis=1)[:, ::-1]  # re-compact after dedup
+        count = (comb >= 0).sum(1)
+
+        out = np.full((padded, m0), -1, np.int32)
+        fits = count <= m0
+        out[:n][fits] = comb[fits, :m0]
+        ovr = np.flatnonzero(~fits)
+        if ovr.size:
+            bq = next_pow2(ovr.size, floor=8)
+            cm = np.full((bq, m0 + cap), -1, np.int32)
+            cm[: ovr.size] = comb[ovr]
+            qv = np.zeros((bq, self.dims), np.float32)
+            xh = np.asarray(xd[:n])
+            qv[: ovr.size] = xh[ovr]
+            qsq = np.einsum("bd,bd->b", qv, qv)
+            pruned = np.asarray(
+                nnd.heuristic_prune(
+                    xd,
+                    xsqd,
+                    jnp.asarray(cm.astype(np.int64)),
+                    m_keep=m0,
+                    metric=self.metric,
+                    cand_k=m0 + cap,
+                    q=jnp.asarray(qv),
+                    q_sq=jnp.asarray(qsq),
+                )
+            ).astype(np.int32)
+            out[ovr] = pruned[: ovr.size]
+        return out
 
     def _graph_size(self) -> int:
         return int(np.count_nonzero(self._levels >= 0))

@@ -100,6 +100,13 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.hnsw_search.argtypes = [
         c.c_void_p, f32p, c.c_int64, c.c_int, c.c_int, i64p, f32p,
     ]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.hnsw_entry.restype = c.c_int
+    lib.hnsw_entry.argtypes = [c.c_void_p]
+    lib.hnsw_max_level.restype = c.c_int
+    lib.hnsw_max_level.argtypes = [c.c_void_p]
+    lib.hnsw_levels.argtypes = [c.c_void_p, i32p]
+    lib.hnsw_links_layer.argtypes = [c.c_void_p, c.c_int, c.c_int, i32p]
 
 
 class NativeArena:
@@ -221,6 +228,27 @@ class CpuHnsw:
 
     def __len__(self) -> int:
         return self._lib.hnsw_size(self._h)
+
+    # ---- graph introspection (diagnostics / graph import) ----
+
+    @property
+    def entry(self) -> int:
+        return self._lib.hnsw_entry(self._h)
+
+    @property
+    def max_level(self) -> int:
+        return self._lib.hnsw_max_level(self._h)
+
+    def levels(self) -> np.ndarray:
+        out = np.empty(len(self), np.int32)
+        self._lib.hnsw_levels(self._h, out)
+        return out
+
+    def links_layer(self, layer: int, width: int) -> np.ndarray:
+        """Adjacency of one layer as [n, width] int32, -1 padded."""
+        out = np.empty((len(self), width), np.int32)
+        self._lib.hnsw_links_layer(self._h, layer, width, out)
+        return out
 
     def __del__(self):
         try:

@@ -398,4 +398,28 @@ void hnsw_search(void* p, const float* queries, int64_t nq, int k, int ef,
   }
 }
 
+// ---- graph introspection (diagnostics / graph import into the TPU index)
+
+int hnsw_entry(void* p) { return static_cast<CpuHnsw*>(p)->entry; }
+int hnsw_max_level(void* p) { return static_cast<CpuHnsw*>(p)->max_level; }
+
+void hnsw_levels(void* p, int* out) {
+  CpuHnsw* h = static_cast<CpuHnsw*>(p);
+  for (size_t i = 0; i < h->level.size(); i++) out[i] = h->level[i];
+}
+
+// Fill out[n * width] with layer adjacency, -1 padded / truncated at width.
+void hnsw_links_layer(void* p, int layer, int width, int* out) {
+  CpuHnsw* h = static_cast<CpuHnsw*>(p);
+  int64_t n = (int64_t)h->level.size();
+  for (int64_t i = 0; i < n; i++) {
+    int m = 0;
+    if (h->level[i] >= layer) {
+      const auto& lst = h->links[i][layer];
+      for (; m < (int)lst.size() && m < width; m++) out[i * width + m] = lst[m];
+    }
+    for (; m < width; m++) out[i * width + m] = -1;
+  }
+}
+
 }  // extern "C"

@@ -137,3 +137,22 @@ def test_bulk_build_path(rng):
     idx.add([n], vecs[0:1] + 0.001)
     _, got = idx.search(vecs[0:1] + 0.001, 1, ef=50)
     assert got[0, 0] in (0, n)
+
+
+@pytest.mark.slow
+def test_bulk_refine_recall_bar(rng):
+    """The refined bulk build must clear the BASELINE quality bar
+    (recall@10 >= 0.95) at hnswlib-equal params on clustered data — the
+    regime where unrefined NN-descent graphs fragment (VERDICT r1)."""
+    n, d = 2048, 24
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+    assign = rng.integers(0, 16, size=n)
+    vecs = (centers[assign] + rng.standard_normal((n, d))).astype(np.float32)
+    idx = HNSWIndex(dims=d, m=16, ef_construction=200)
+    idx.add(np.arange(n), vecs)
+    q = (centers[rng.integers(0, 16, size=128)]
+         + rng.standard_normal((128, d))).astype(np.float32)
+    oracle = oracle_topk(q, vecs, 10)
+    _, got = idx.search(q, 10, ef=100)
+    recall = np.mean([len(set(got[i]) & set(oracle[i])) / 10 for i in range(128)])
+    assert recall >= 0.95, recall
