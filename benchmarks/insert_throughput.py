@@ -1,0 +1,101 @@
+"""Streaming-insert throughput: TPU HNSW wave inserts (delta device
+sync) vs sequential CPU HNSW addPoint (reference write path:
+``version.cc:47-56`` -> ``index.cc:20-37``).
+
+Builds a base graph bulk, then streams batches of new rows, measuring
+inserts/s and verifying the streamed rows are immediately searchable.
+
+Usage:
+  python benchmarks/insert_throughput.py --base 200000 --stream 20000
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from benchmarks.recall_sweep import load_data  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", type=int, default=200_000)
+    ap.add_argument("--stream", type=int, default=20_000)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--dims", type=int, default=128)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--efc", type=int, default=200)
+    ap.add_argument("--skip-cpu", action="store_true")
+    args = ap.parse_args()
+
+    class A:
+        pass
+
+    a = A()
+    a.data = None
+    a.sift_like = True
+    a.clustered = False
+    a.n = args.base + args.stream
+    a.nq = 256
+    a.dims = args.dims
+    a.k = 10
+    a.metric = "l2"
+    train, test, _ = load_data(a)
+    base, stream = train[: args.base], train[args.base :]
+
+    def rep(**kv):
+        print(json.dumps(kv), flush=True)
+
+    from embeddinghub_tpu.index.hnsw import HNSWIndex
+
+    idx = HNSWIndex(args.dims, m=args.m, ef_construction=args.efc,
+                    capacity=args.base + args.stream)
+    t0 = time.perf_counter()
+    idx.add(np.arange(args.base), base)
+    idx.search(test[:8], 10, ef=100)  # force device state + compile
+    rep(phase="bulk-base", n=args.base,
+        build_s=round(time.perf_counter() - t0, 1))
+
+    t0 = time.perf_counter()
+    for s in range(0, len(stream), args.batch):
+        rows = np.arange(args.base + s,
+                         args.base + min(s + args.batch, len(stream)))
+        idx.add(rows, stream[s : s + args.batch])
+    # searchability check forces the delta flush into the timed region
+    _, ids = idx.search(stream[:64], 1, ef=50)
+    dt = time.perf_counter() - t0
+    hit = float(np.mean(ids[:, 0] == np.arange(args.base, args.base + 64)))
+    rep(phase="tpu-stream", n=len(stream), batch=args.batch,
+        inserts_per_s=round(len(stream) / dt, 1),
+        self_hit_at_1=round(hit, 3))
+
+    if not args.skip_cpu:
+        from embeddinghub_tpu.native import CpuHnsw
+
+        h = CpuHnsw(args.dims, m=args.m, ef_construction=args.efc)
+        t0 = time.perf_counter()
+        h.add(base)
+        rep(phase="cpu-base", n=args.base,
+            build_s=round(time.perf_counter() - t0, 1))
+        t0 = time.perf_counter()
+        h.add(stream)
+        dt = time.perf_counter() - t0
+        rep(phase="cpu-stream", n=len(stream),
+            inserts_per_s=round(len(stream) / dt, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,8 +180,9 @@ class MemoryStorage(KVStorage):
 class SqliteStorage(KVStorage):
     """Durable metadata KV (the psql analog for a single node).
 
-    Resources are pickled; sqlite gives atomic writes + survives
-    restarts (reference runs goose migrations on psql, main.go:93-105).
+    Resources are stored as typed JSON (resources.to_wire — pickle is
+    gone at rest too); sqlite gives atomic writes + survives restarts
+    (reference runs goose migrations on psql, main.go:93-105).
     """
 
     def __init__(self, path: str):
@@ -204,14 +205,14 @@ class SqliteStorage(KVStorage):
         ).fetchone()
         if row is None:
             return None
-        import pickle
+        from embeddinghub_tpu.featurestore.resources import from_wire
 
-        return pickle.loads(row[0])
+        return from_wire(row[0])
 
     def put(self, key, value):
-        import pickle
+        from embeddinghub_tpu.featurestore.resources import to_wire
 
-        blob = pickle.dumps(value)
+        blob = to_wire(value)
         con = self._con()
         con.execute(
             "INSERT INTO resources (key, val) VALUES (?, ?) "
@@ -226,9 +227,9 @@ class SqliteStorage(KVStorage):
         con.commit()
 
     def values(self):
-        import pickle
+        from embeddinghub_tpu.featurestore.resources import from_wire
 
         return [
-            pickle.loads(row[0])
+            from_wire(row[0])
             for row in self._con().execute("SELECT val FROM resources")
         ]

@@ -5,8 +5,11 @@ proxying to the ``Metadata`` gRPC service, ``metadata/metadata.go``):
 resource CRUD and orchestration over the network, so a remote
 ``Registrar`` can ``apply()`` against a central control plane.
 
-Resources travel pickled (trusted internal link — the reference ships
-dill-serialized transformation functions over its wire the same way).
+Resources travel as typed JSON payloads (resources.to_wire/from_wire —
+pickle is gone from the wire; client callables degrade to source text).
+For byte-level interop with reference clients use the typed wire-parity
+service in metadata_wire.py; this compact service is the internal fast
+path.
 
 Run standalone: handled by ``embeddinghub_tpu.main`` (one process runs
 everything) or embed ``build_server`` next to any MetadataStore.
@@ -14,7 +17,6 @@ everything) or embed ``build_server`` next to any MetadataStore.
 
 from __future__ import annotations
 
-import pickle
 from concurrent import futures as cf
 
 import grpc
@@ -23,7 +25,12 @@ from embeddinghub_tpu.featurestore import fferr
 from embeddinghub_tpu.featurestore.metadata import MetadataStore
 from embeddinghub_tpu.featurestore.proto import metadata_pb2 as pb
 from embeddinghub_tpu.featurestore.proto import metadata_pb2_grpc as pb_grpc
-from embeddinghub_tpu.featurestore.resources import ResourceID, ResourceType
+from embeddinghub_tpu.featurestore.resources import (
+    ResourceID,
+    ResourceType,
+    from_wire,
+    to_wire,
+)
 from embeddinghub_tpu.featurestore.search import SearchIndex
 
 _CODE = {
@@ -41,7 +48,7 @@ def _blob(res) -> pb.ResourceBlob:
         type=res.rtype.value,
         name=res.name,
         variant=getattr(res, "variant", ""),
-        payload=pickle.dumps(res),
+        payload=to_wire(res),
         status=res.status.value,
         status_error=res.status_error,
     )
@@ -58,7 +65,7 @@ class MetadataService(pb_grpc.MetadataServicer):
 
     def CreateResource(self, request, context):
         try:
-            res = pickle.loads(request.payload)
+            res = from_wire(request.payload)
             created = self._metadata.create(res)
         except fferr.FFError as e:
             self._abort(context, e)
@@ -127,10 +134,21 @@ class MetadataService(pb_grpc.MetadataServicer):
 def build_server(
     address: str, metadata: MetadataStore, coordinator=None
 ) -> grpc.Server:
+    """One gRPC server hosting BOTH metadata surfaces: the compact
+    internal service and the reference-wire-parity typed service
+    (``featureform.serving.metadata.proto.Metadata``), the way the
+    reference metadata server hosts Metadata + Tasks together
+    (``metadata/metadata.go:1940``)."""
     server = grpc.server(cf.ThreadPoolExecutor(max_workers=16))
     pb_grpc.add_MetadataServicer_to_server(
         MetadataService(metadata, coordinator), server
     )
+    from embeddinghub_tpu.featurestore.metadata_wire import (
+        MetadataWireService,
+        register,
+    )
+
+    register(MetadataWireService(metadata), server)
     server.add_insecure_port(address)
     return server
 
@@ -152,11 +170,11 @@ class RemoteMetadataClient:
         blob = self._stub.GetResource(
             pb.ResourceRef(type=rtype.value, name=name, variant=variant)
         )
-        return pickle.loads(blob.payload)
+        return from_wire(blob.payload)
 
     def list(self, rtype: ResourceType):
         return [
-            pickle.loads(b.payload)
+            from_wire(b.payload)
             for b in self._stub.ListResources(pb.TypeRef(type=rtype.value))
         ]
 

@@ -110,6 +110,82 @@ class Resource:
         return []
 
 
+# ------------------------------------------------------------- wire codec
+#
+# JSON-based resource serialization for network/disk transport.  This
+# deliberately replaces pickle on every cross-process path: pickled
+# payloads execute arbitrary code at load time, a hazard the reference
+# does not ship (it restricts dill to on-demand/DF function bodies).
+# Callables degrade to their source text (marker-wrapped); executing
+# such client-supplied source on the server side is opt-in via
+# EHTPU_ALLOW_REMOTE_CODE (default off), mirroring the reference's
+# "dill only for on-demand features" posture but fail-closed.
+
+_TUPLE_FIELDS = {"source", "label"}
+_TUPLE_LIST_FIELDS = {"features", "trainingsets", "inputs"}
+
+
+def _sanitize(v):
+    import base64
+    import inspect
+
+    if isinstance(v, bytes):
+        return {"__b64__": base64.b64encode(v).decode()}
+    if isinstance(v, enum.Enum):
+        return v.value
+    if callable(v) and not isinstance(v, type):
+        try:
+            src = inspect.getsource(v)
+        except (OSError, TypeError):
+            src = repr(v)
+        return {"__src__": src}
+    if isinstance(v, (list, tuple)):
+        return [_sanitize(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _sanitize(x) for k, x in v.items()}
+    return v
+
+
+def _restore(v):
+    import base64
+
+    if isinstance(v, dict):
+        if set(v) == {"__b64__"}:
+            return base64.b64decode(v["__b64__"])
+        if set(v) == {"__src__"}:
+            return v["__src__"]  # source text; never exec'd here
+        return {k: _restore(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_restore(x) for x in v]
+    return v
+
+
+def to_wire(res: "Resource") -> bytes:
+    d = {
+        f.name: _sanitize(getattr(res, f.name))
+        for f in dataclasses.fields(res)
+    }
+    d.pop("rtype", None)
+    return json.dumps({"rtype": res.rtype.value, "data": d}).encode()
+
+
+def from_wire(blob: bytes) -> "Resource":
+    obj = json.loads(blob)
+    cls = RESOURCE_CLASSES[ResourceType(obj["rtype"])]
+    data = {k: _restore(v) for k, v in obj["data"].items()}
+    known = {f.name for f in dataclasses.fields(cls)}
+    data = {k: v for k, v in data.items() if k in known}
+    if "status" in data:
+        data["status"] = Status(data["status"])
+    for f in _TUPLE_FIELDS & set(data):
+        if isinstance(data[f], list):
+            data[f] = tuple(data[f])
+    for f in _TUPLE_LIST_FIELDS & set(data):
+        if isinstance(data[f], list):
+            data[f] = [tuple(x) if isinstance(x, list) else x for x in data[f]]
+    return cls(**data)
+
+
 @dataclass
 class User(Resource):
     rtype: ResourceType = ResourceType.USER
@@ -250,3 +326,15 @@ class TrainingSetVariant(Resource):
             for n, v in self.features
         ]
         return deps
+
+
+RESOURCE_CLASSES: dict[ResourceType, type] = {
+    ResourceType.USER: User,
+    ResourceType.MODEL: Model,
+    ResourceType.ENTITY: Entity,
+    ResourceType.PROVIDER: Provider,
+    ResourceType.SOURCE_VARIANT: SourceVariant,
+    ResourceType.FEATURE_VARIANT: FeatureVariant,
+    ResourceType.LABEL_VARIANT: LabelVariant,
+    ResourceType.TRAINING_SET_VARIANT: TrainingSetVariant,
+}

@@ -57,7 +57,14 @@ class ServingClient:
             name, variant = _split_ref(fref)
             feat = self._feature(name, variant)
             if feat.on_demand_fn is not None:
-                out.append(feat.on_demand_fn(None, params or {}, entities))
+                fn = feat.on_demand_fn
+                if isinstance(fn, str):
+                    # Crossed a process boundary: the wire codec ships
+                    # function SOURCE, never code objects.  Executing
+                    # client-supplied source is opt-in (the reference
+                    # always dill-execs here; we fail closed).
+                    fn = _compile_on_demand(fn)
+                out.append(fn(None, params or {}, entities))
                 continue
             if feat.status != Status.READY:
                 raise fferr.DependencyNotReadyError(
@@ -278,6 +285,34 @@ class Dataset:
         else:
             for feats, label in row_iter():
                 yield Row(feats, label)
+
+
+def _compile_on_demand(source: str):
+    """Rebuild an on-demand feature callable from wire-shipped source.
+    Disabled unless EHTPU_ALLOW_REMOTE_CODE=1: running client-supplied
+    code is exactly the hazard dropping pickle was meant to close (the
+    reference accepts it by always dill-executing on-demand functions;
+    we require the operator to opt in)."""
+    import os
+
+    if os.environ.get("EHTPU_ALLOW_REMOTE_CODE", "") not in ("1", "true"):
+        raise fferr.InvalidResourceError(
+            "on-demand feature arrived as source text from a remote "
+            "client; set EHTPU_ALLOW_REMOTE_CODE=1 to allow executing it"
+        )
+    import textwrap
+
+    lines = textwrap.dedent(source).splitlines()
+    while lines and lines[0].lstrip().startswith("@"):
+        lines.pop(0)  # registration decorators aren't defined server-side
+    ns: dict = {}
+    exec(compile("\n".join(lines), "<on_demand_feature>", "exec"), ns)  # noqa: S102
+    fns = [v for v in ns.values() if callable(v) and not isinstance(v, type)]
+    if not fns:
+        raise fferr.InvalidResourceError(
+            "on-demand feature source defines no function"
+        )
+    return fns[-1]
 
 
 def _split_ref(ref) -> tuple[str, str]:
