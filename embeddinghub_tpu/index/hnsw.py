@@ -540,51 +540,57 @@ class HNSWIndex(Index):
 
         state = self._device_arrays()
         q_sq_all = np.einsum("wd,wd->w", pvecs, pvecs)
-        for layer in range(min(int(levels.max(initial=0)), searched_max), -1, -1):
-            members = [
-                j
-                for j in range(len(rows))
-                if min(int(levels[j]), searched_max) >= layer
-            ]
-            if not members:
-                continue
-            mmax = self.m0 if layer == 0 else self.m
-            ids = np.stack([cand_ids[layer][j] for j in members])
-            w = len(members)
-            wp = next_pow2(w, floor=8)
-            cw = min(next_pow2(ids.shape[1], floor=8), 128)
-            ids_p = np.full((wp, cw), -1, np.int32)
-            take = min(cw, ids.shape[1])
-            ids_p[:w, :take] = ids[:, :take]
-            q_p = np.zeros((wp, self.dims), np.float32)
-            q_p[:w] = pvecs[members]
-            qsq_p = np.zeros((wp,), np.float32)
-            qsq_p[:w] = q_sq_all[members]
-            cand_k = cw
-            pruned = np.asarray(
-                nnd.heuristic_prune(
-                    state["x"],
-                    state["x_sq"],
-                    jnp.asarray(ids_p),
-                    m_keep=self.m,
-                    metric="ip" if self.metric != "l2" else "l2",
-                    cand_k=cand_k,
-                    q=jnp.asarray(q_p),
-                    q_sq=jnp.asarray(qsq_p),
-                )
-            )[:w]
+        top = min(int(levels.max(initial=0)), searched_max)
 
-            # forward links + reciprocal grouping (host bookkeeping only)
+        # ---- ONE forward-selection prune across every (node, layer) ----
+        # hnswlib selects M forward links per layer with the same
+        # heuristic regardless of layer, so all layers batch into a
+        # single device dispatch (each extra dispatch costs a tunnel
+        # round trip).
+        pairs: list[tuple[int, int]] = []  # (layer, j)
+        for layer in range(top, -1, -1):
+            for j in range(len(rows)):
+                if min(int(levels[j]), searched_max) >= layer:
+                    pairs.append((layer, j))
+        if not pairs:
+            return
+        bp = next_pow2(len(pairs), floor=256 if len(pairs) > 64 else 8)
+        cw = 128
+        ids_p = np.full((bp, cw), -1, np.int32)
+        q_p = np.zeros((bp, self.dims), np.float32)
+        qsq_p = np.zeros((bp,), np.float32)
+        for i, (layer, j) in enumerate(pairs):
+            ids = cand_ids[layer][j]
+            take = min(cw, len(ids))
+            ids_p[i, :take] = ids[:take]
+            q_p[i] = pvecs[j]
+            qsq_p[i] = q_sq_all[j]
+        pruned = np.asarray(
+            nnd.heuristic_prune(
+                state["x"],
+                state["x_sq"],
+                jnp.asarray(ids_p),
+                m_keep=self.m,
+                metric="ip" if self.metric != "l2" else "l2",
+                cand_k=cw,
+                q=jnp.asarray(q_p),
+                q_sq=jnp.asarray(qsq_p),
+            )
+        )[: len(pairs)]
+
+        # ---- host bookkeeping: forward links + reciprocal grouping ----
+        overflow: dict[int, list[tuple[int, list[int]]]] = {0: [], 1: []}
+        for layer in range(top, -1, -1):
+            mmax = self.m0 if layer == 0 else self.m
             recip: dict[int, list[int]] = {}
-            for j_idx, j in enumerate(members):
+            for i, (lyr, j) in enumerate(pairs):
+                if lyr != layer:
+                    continue
                 r = int(rows[j])
-                sel = pruned[j_idx][pruned[j_idx] >= 0]
+                sel = pruned[i][pruned[i] >= 0]
                 self._set_links(r, layer, sel)
                 for t in sel:
                     recip.setdefault(int(t), []).append(r)
-
-            overflow_targets = []
-            overflow_cands = []
             for t, new_ns in recip.items():
                 cur = self._links_of(t, layer)
                 if len(cur) + len(new_ns) <= mmax:
@@ -592,36 +598,42 @@ class HNSWIndex(Index):
                         t, layer, np.asarray(cur + new_ns, np.int64)
                     )
                 else:
-                    cand = (cur + new_ns)[: 2 * mmax]
-                    overflow_targets.append(t)
-                    overflow_cands.append(cand)
-            if overflow_targets:
-                tcount = len(overflow_targets)
-                tp = next_pow2(tcount, floor=256 if tcount > 64 else 8)
-                width = next_pow2(2 * mmax, floor=8)
-                cm = np.full((tp, width), -1, np.int32)
-                for i, cand in enumerate(overflow_cands):
-                    cm[i, : len(cand)] = cand
-                tvecs = self._prep(self._hx[np.asarray(overflow_targets)])
-                tv_p = np.zeros((tp, self.dims), np.float32)
-                tv_p[:tcount] = tvecs
-                tsq_p = np.zeros((tp,), np.float32)
-                tsq_p[:tcount] = np.einsum("td,td->t", tvecs, tvecs)
-                pruned_t = np.asarray(
-                    nnd.heuristic_prune(
-                        state["x"],
-                        state["x_sq"],
-                        jnp.asarray(cm),
-                        m_keep=mmax,
-                        metric="ip" if self.metric != "l2" else "l2",
-                        cand_k=width,
-                        q=jnp.asarray(tv_p),
-                        q_sq=jnp.asarray(tsq_p),
+                    overflow[1 if layer else 0].append(
+                        (layer, t, (cur + new_ns)[: 2 * mmax])
                     )
-                )[:tcount]
-                for i, t in enumerate(overflow_targets):
-                    sel = pruned_t[i][pruned_t[i] >= 0]
-                    self._set_links(t, layer, sel)
+
+        # ---- grouped overflow re-prunes: one dispatch per mmax class ----
+        for cls, items in overflow.items():
+            if not items:
+                continue
+            mmax = self.m if cls else self.m0
+            tcount = len(items)
+            tp = next_pow2(tcount, floor=256 if tcount > 64 else 8)
+            width = next_pow2(2 * mmax, floor=8)
+            cm = np.full((tp, width), -1, np.int32)
+            targets = np.asarray([t for _, t, _ in items])
+            for i, (_, _, cand) in enumerate(items):
+                cm[i, : len(cand)] = cand
+            tvecs = self._prep(self._hx[targets])
+            tv_p = np.zeros((tp, self.dims), np.float32)
+            tv_p[:tcount] = tvecs
+            tsq_p = np.zeros((tp,), np.float32)
+            tsq_p[:tcount] = np.einsum("td,td->t", tvecs, tvecs)
+            pruned_t = np.asarray(
+                nnd.heuristic_prune(
+                    state["x"],
+                    state["x_sq"],
+                    jnp.asarray(cm),
+                    m_keep=mmax,
+                    metric="ip" if self.metric != "l2" else "l2",
+                    cand_k=width,
+                    q=jnp.asarray(tv_p),
+                    q_sq=jnp.asarray(tsq_p),
+                )
+            )[:tcount]
+            for i, (layer, t, _) in enumerate(items):
+                sel = pruned_t[i][pruned_t[i] >= 0]
+                self._set_links(t, layer, sel)
 
     def _links_of(self, node: int, layer: int) -> list[int]:
         if layer == 0:
@@ -694,17 +706,18 @@ class HNSWIndex(Index):
             members = np.flatnonzero(lv >= layer)
             ef_l = min(64, ef0)
             if members.size:
-                # beam only the member subset (bucketed batch)
+                # beam only the member subset (bucketed batch); cur stays
+                # device-resident — entries are gathered and the pool
+                # nearest scattered back without host round trips
                 mb = next_pow2(members.size, floor=8)
                 mq = np.broadcast_to(pvecs[members[0]], (mb, self.dims)).copy()
                 mq[: members.size] = pvecs[members]
-                ment = np.zeros((mb,), np.int32)
-                cur_np = np.asarray(cur)
-                ment[: members.size] = cur_np[members]
-                ment[members.size :] = ment[0]
+                mrows = np.full((mb,), members[0], np.int64)
+                mrows[: members.size] = members
+                mrows_d = jnp.asarray(mrows)
                 d_d, d_ids = beam_ops.beam_search(
                     jnp.asarray(mq),
-                    jnp.asarray(ment),
+                    cur[mrows_d],
                     nb,
                     state["x"],
                     state["x_sq"],
@@ -728,15 +741,14 @@ class HNSWIndex(Index):
                 out_d[layer] = np.full((w, ef), np.inf, np.float32)
             # everyone threads down: members continue from their pool
             # nearest, the rest via the greedy walk on this layer
-            gcur = beam_ops.greedy_descend(
+            cur = beam_ops.greedy_descend(
                 qd, cur, nb, state["x"], state["x_sq"], metric=self.metric
             )
             if members.size:
-                gcur_np = np.asarray(gcur).copy()
-                gcur_np[members] = ids_np[:, 0]
-                cur = jnp.asarray(gcur_np)
-            else:
-                cur = gcur
+                # pad rows repeat members[0] with that same query's
+                # result — duplicate scatters stay consistent, and the
+                # shape is the fixed mb bucket (no per-count recompiles)
+                cur = cur.at[mrows_d].set(d_ids[:, 0])
         d_d, d_ids = beam_ops.beam_search(
             qd,
             cur,
