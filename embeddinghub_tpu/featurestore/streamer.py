@@ -1,0 +1,143 @@
+"""Arrow Flight data-plane streamer.
+
+Rebuild of the reference's streaming data plane
+(``streamer/iceberg_streamer.py:12-106``: a pyarrow Flight server that
+turns a JSON ticket into a record-batch stream; ``streamer_proxy/
+main.go:32-174``: the Go proxy that hydrates tickets).  The TPU build
+has no Iceberg/Glue in-image, so the streamer serves the same role over
+this package's offline stores and training sets:
+
+  ticket (JSON):
+    {"kind": "source",       "name": n, "variant": v, "limit": L}
+    {"kind": "materialized", "name": n, "variant": v,
+     "entity_column": e, "value_column": c, "timestamp_column": t}
+    {"kind": "training_set", "name": n, "variant": v}
+
+``do_get`` validates the ticket (missing-field errors mirror the
+reference's), pulls rows from the registered offline provider and
+streams Arrow record batches.  Gated on pyarrow being importable — the
+package never hard-requires it.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import Any
+
+DEFAULT_LIMIT = 2_000_000  # reference TWO_MILLION_RECORD_LIMIT
+
+
+def pyarrow_available() -> bool:
+    try:
+        import pyarrow  # noqa: F401
+        import pyarrow.flight  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class StreamerService:
+    """Flight server over an OfflineStore + ServingClient pair."""
+
+    def __init__(self, offline_store, serving=None, host="127.0.0.1", port=0):
+        import pyarrow.flight as fl
+
+        self._offline = offline_store
+        self._serving = serving
+        outer = self
+
+        class _Server(fl.FlightServerBase):
+            def do_get(self, context, ticket):
+                return outer._do_get(ticket)
+
+        self._server = _Server(f"grpc://{host}:{port}")
+        self.port = self._server.port
+        self.location = f"grpc://{host}:{self.port}"
+        self._thread: threading.Thread | None = None
+
+    # ---- server plumbing ----
+
+    def start(self) -> "StreamerService":
+        self._thread = threading.Thread(target=self._server.serve, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # ---- ticket handling (reference do_get shape) ----
+
+    def _do_get(self, ticket):
+        import pyarrow as pa
+        import pyarrow.flight as fl
+
+        try:
+            req: dict[str, Any] = json.loads(ticket.ticket.decode("utf-8"))
+        except json.JSONDecodeError as e:
+            raise ValueError("Invalid JSON format in ticket") from e
+
+        missing = [f for f in ("kind", "name", "variant") if not req.get(f)]
+        if missing:
+            raise ValueError(
+                "Missing required request fields: " + ", ".join(missing)
+            )
+        limit = req.get("limit", DEFAULT_LIMIT)
+        if not isinstance(limit, int) or limit <= 0:
+            raise ValueError(
+                f"Invalid 'limit' value: {limit}. Must be a positive integer value."
+            )
+
+        kind = req["kind"]
+        name, variant = req["name"], req["variant"]
+        if kind == "source":
+            rows = self._offline.table_rows(name, variant)[:limit]
+        elif kind == "materialized":
+            mat = self._offline.materialize(
+                name,
+                variant,
+                req.get("entity_column", "entity"),
+                req.get("value_column", "value"),
+                req.get("timestamp_column", ""),
+            )
+            rows = [
+                {"entity": e, "value": v}
+                for e, v in list(mat.rows())[:limit]
+            ]
+        elif kind == "training_set":
+            rows = [
+                {"features": json.dumps(feats), "label": label}
+                for feats, label in self._offline.training_set_rows(
+                    name, variant
+                )
+            ][:limit]
+        else:
+            raise ValueError(f"unknown ticket kind: {kind!r}")
+
+        if not rows:
+            schema = pa.schema([("empty", pa.int64())])
+            return fl.RecordBatchStream(
+                pa.RecordBatchReader.from_batches(schema, [])
+            )
+        tbl = pa.Table.from_pylist(rows)
+        reader = pa.RecordBatchReader.from_batches(
+            tbl.schema, tbl.to_batches(max_chunksize=8192)
+        )
+        return fl.RecordBatchStream(reader)
+
+
+def read_stream(location: str, ticket: dict) -> "list[dict]":
+    """Client helper (the streamer_proxy role): fetch a ticket's stream
+    and return rows as dicts."""
+    import pyarrow.flight as fl
+
+    client = fl.connect(location)
+    reader = client.do_get(fl.Ticket(json.dumps(ticket).encode()))
+    return reader.read_all().to_pylist()

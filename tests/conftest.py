@@ -13,23 +13,30 @@ import os
 # jax_platforms, so env vars alone are not enough: override the config
 # directly, and clear the pool var so our test subprocesses skip the
 # plugin entirely.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
+_TPU_MODE = os.environ.get("EHTPU_TPU_TESTS") == "1"
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", (
-    "tests must run on the virtual CPU mesh, got " + jax.default_backend()
-)
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual CPU mesh, got " + jax.default_backend()
+    )
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+# EHTPU_TPU_TESTS=1 leaves the real backend in place so @pytest.mark.tpu
+# tests exercise actual Mosaic lowerings:
+#   EHTPU_TPU_TESTS=1 python -m pytest tests -m tpu
 
 import numpy as np
 import pytest

@@ -83,3 +83,33 @@ def test_fused_shape_validation(rng):
             block_b=8,
             interpret=True,
         )
+
+
+@pytest.mark.tpu
+def test_fused_topk_real_lowering():
+    """Real Mosaic lowering (interpret=False) — pinned on TPU hardware.
+
+    Skipped on CPU (the default harness); run explicitly on the chip:
+    ``python -m pytest tests/test_pallas_kernel.py -m tpu``."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU hardware")
+    rng = np.random.default_rng(5)
+    n, d, b, k = 8192, 128, 256, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones((n,), bool)
+    x_sq = (x * x).sum(1)
+    dist, ids = fused_topk_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+        jnp.asarray(x_sq), k=k, metric="l2", interpret=False,
+    )
+    ids = np.asarray(ids)
+    # oracle
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(full, axis=1)[:, :k]
+    overlap = np.mean([
+        len(set(ids[i]) & set(want[i])) / k for i in range(b)
+    ])
+    assert overlap >= 0.99, overlap
