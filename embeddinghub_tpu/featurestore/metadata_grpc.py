@@ -156,8 +156,19 @@ def build_server(
 class RemoteMetadataClient:
     """Typed remote metadata handle (reference metadata/client.go role)."""
 
-    def __init__(self, host: str = "0.0.0.0", port: int = 8080, channel=None):
-        self._channel = channel or grpc.insecure_channel(f"{host}:{port}")
+    def __init__(
+        self,
+        host: str = "0.0.0.0",
+        port: int = 8080,
+        channel=None,
+        insecure: bool = True,
+        cert_path: str | None = None,
+    ):
+        from embeddinghub_tpu.utils.channels import make_channel
+
+        self._channel = channel or make_channel(
+            host, port, insecure=insecure, cert_path=cert_path
+        )
         self._stub = pb_grpc.MetadataStub(self._channel)
 
     def close(self):

@@ -125,6 +125,28 @@ class Registrar:
             name, "EMBEDDINGHUB_GRPC", {"host": host, "port": port}
         )
 
+    def register_redis(
+        self,
+        name: str = "redis",
+        host: str = "127.0.0.1",
+        port: int = 6379,
+        password: str = "",
+        prefix: str = "",
+        description: str = "",
+        team: str = "",
+    ) -> Provider:
+        """Redis online/vector store (reference ``register.py``'s
+        register_redis; our provider speaks the same HSET/FT.* wire,
+        providers/redis_online.py)."""
+        cfg = {"host": host, "port": port}
+        if password:
+            cfg["password"] = password
+        if prefix:
+            cfg["prefix"] = prefix
+        return self.register_provider(
+            name, "REDIS_ONLINE", cfg, description=description, team=team
+        )
+
     # -------------------------------------------------------------- sources
 
     def register_primary_data(
@@ -364,9 +386,20 @@ class Client(ServingClient):
     def list_resources(self, rtype: ResourceType):
         return self.metadata.list_type(rtype)
 
-    def dataframe(self, source: str, variant: str = "default") -> list[dict]:
-        """Rows of a source table (client.py:123's dataframe, as list of
-        dicts — pandas-free)."""
+    def dataframe(self, source: str, variant: str = "default"):
+        """Source rows as a pandas DataFrame (reference ``client.py:123``
+        returns pandas too); falls back to a list of dicts when pandas
+        is unavailable."""
+        rows = self.rows(source, variant)
+        try:
+            import pandas as pd
+
+            return pd.DataFrame(rows)
+        except ImportError:
+            return rows
+
+    def rows(self, source: str, variant: str = "default") -> list[dict]:
+        """Raw rows of a source table (pandas-free variant)."""
         from embeddinghub_tpu.featurestore.resources import ResourceID
 
         src = self.metadata.get(

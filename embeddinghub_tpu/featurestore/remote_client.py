@@ -28,8 +28,19 @@ def _split(ref) -> tuple[str, str]:
 
 
 class RemoteServingClient:
-    def __init__(self, host: str = "0.0.0.0", port: int = 8081, channel=None):
-        self._channel = channel or grpc.insecure_channel(f"{host}:{port}")
+    def __init__(
+        self,
+        host: str = "0.0.0.0",
+        port: int = 8081,
+        channel=None,
+        insecure: bool = True,
+        cert_path: str | None = None,
+    ):
+        from embeddinghub_tpu.utils.channels import make_channel
+
+        self._channel = channel or make_channel(
+            host, port, insecure=insecure, cert_path=cert_path
+        )
         self._stub = pb_grpc.FeatureStub(self._channel)
 
     def close(self):

@@ -22,16 +22,28 @@ from embeddinghub_tpu.service.proto import embedding_store_pb2_grpc as pb_grpc
 
 class EmbeddingHubClient:
     @staticmethod
-    def grpc_channel(host: str = "0.0.0.0", port: int = 7462) -> grpc.Channel:
-        return grpc.insecure_channel(
-            f"{host}:{port}", options=(("grpc.enable_http_proxy", 0),)
-        )
+    def grpc_channel(
+        host: str = "0.0.0.0",
+        port: int = 7462,
+        insecure: bool = True,
+        cert_path: str | None = None,
+    ) -> grpc.Channel:
+        from embeddinghub_tpu.utils.channels import make_channel
 
-    def __init__(self, grpc_channel=None, host: str = "0.0.0.0", port: int = 7462):
+        return make_channel(host, port, insecure=insecure, cert_path=cert_path)
+
+    def __init__(
+        self,
+        grpc_channel=None,
+        host: str = "0.0.0.0",
+        port: int = 7462,
+        insecure: bool = True,
+        cert_path: str | None = None,
+    ):
         self._channel = (
             grpc_channel
             if grpc_channel is not None
-            else EmbeddingHubClient.grpc_channel(host, port)
+            else EmbeddingHubClient.grpc_channel(host, port, insecure, cert_path)
         )
         self._stub = pb_grpc.EmbeddingHubStub(self._channel)
 

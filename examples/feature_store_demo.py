@@ -58,6 +58,10 @@ def main():
     client.apply()
     print("applied; score(u7) =", client.features(["score"], {"user": "u7"}))
 
+    # pandas dataframe() over a registered source (client.py:123 parity)
+    df = client.dataframe("events")
+    print("events dataframe:", getattr(df, "shape", len(df)))
+
     hits = client.nearest("user_vec", "default", rows[3]["embedding"], 3)
     print("3-NN of u3's embedding:", hits)
 
