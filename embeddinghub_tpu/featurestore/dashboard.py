@@ -74,7 +74,16 @@ def make_handler(metadata, coordinator, search_index: SearchIndex):
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
             try:
-                if url.path == "/metrics":
+                if url.path in ("/", "/index.html"):
+                    import os
+
+                    ui = os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "dashboard_ui.html",
+                    )
+                    with open(ui, encoding="utf-8") as f:
+                        self._send(f.read(), content_type="text/html")
+                elif url.path == "/metrics":
                     self._send(METRICS.render(), content_type="text/plain")
                 elif url.path == "/health":
                     self._send(health_mod.check_all(metadata))

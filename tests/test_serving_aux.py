@@ -245,3 +245,23 @@ reg.register_feature("clicks", source=("events", "default"), entity="user",
     assert "status: READY" in capsys.readouterr().out
     assert cli.main(["--db", db, "search", "clicks"]) == 0
     assert "clicks" in capsys.readouterr().out
+
+
+def test_dashboard_serves_static_ui():
+    """The dashboard serves a static HTML frontend at / over the same
+    JSON API (reference ships a Next.js app; this is the essentials)."""
+    import urllib.request
+
+    from embeddinghub_tpu.featurestore.dashboard import DashboardServer
+    from embeddinghub_tpu.featurestore.metadata import MetadataStore
+
+    dash = DashboardServer(MetadataStore(), port=0)
+    dash.start()
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{dash.port}/", timeout=5
+        ).read().decode()
+        assert "<title>embeddinghub-tpu dashboard</title>" in html
+        assert "/data/" in html  # the JS drives the JSON API
+    finally:
+        dash.stop()
