@@ -36,11 +36,56 @@ sys.path.insert(0, REPO)
 
 def load_data(args):
     if args.data and os.path.exists(args.data):
+        if args.data.endswith((".hdf5", ".h5")):
+            # ann-benchmarks files (e.g. sift-128-euclidean.hdf5)
+            import h5py
+
+            with h5py.File(args.data, "r") as z:
+                train = np.asarray(z["train"], np.float32)
+                test = np.asarray(z["test"], np.float32)
+                gt = (
+                    np.asarray(z["neighbors"])[:, : args.k]
+                    if "neighbors" in z
+                    else None
+                )
+            return train, test, gt
         z = np.load(args.data)
         train, test = z["train"].astype(np.float32), z["test"].astype(np.float32)
         gt = z["neighbors"][:, : args.k] if "neighbors" in z else None
         return train, test, gt
     rng = np.random.default_rng(0)
+    if getattr(args, "sift_desc", False):
+        # SIFT-*descriptor*-statistics proxy (the real SIFT-1M files are
+        # not obtainable in this zero-egress image): 4x4 spatial grid x
+        # 8 orientation bins, non-negative, heavy-tailed per-cell energy
+        # with spatially correlated orientation fields, value clipping
+        # and uint8 quantization — matching real descriptors' marginals
+        # (sparse, clipped at 0.2*norm, integer-valued) far better than
+        # gaussians.  dims must be 128.
+        assert args.dims == 128, "sift-desc mode is 128-d"
+
+        def sample_desc(count, rng):
+            # dominant orientation per patch region, smoothed over the grid
+            base_ori = rng.uniform(0, 8, size=(count, 1, 1))
+            drift = rng.normal(0, 1.2, size=(count, 4, 4)).cumsum(2)
+            ori = (base_ori + drift) % 8                    # [n,4,4]
+            bins = np.arange(8)[None, None, None, :]
+            ang = np.minimum(
+                np.abs(bins - ori[..., None]),
+                8 - np.abs(bins - ori[..., None]),
+            )
+            resp = np.exp(-(ang ** 2) / (2 * 1.1 ** 2))     # orientation response
+            energy = rng.gamma(2.0, 1.0, size=(count, 4, 4, 1))
+            noise = rng.gamma(1.0, 0.25, size=(count, 4, 4, 8))
+            d = (resp * energy + noise).reshape(count, 128)
+            d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+            d = np.minimum(d, 0.2)                          # SIFT clipping
+            d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+            return np.floor(512.0 * d).astype(np.float32)   # uint8-style ints
+
+        train = sample_desc(args.n, rng)
+        test = sample_desc(args.nq, np.random.default_rng(1))
+        return train, test, None
     if args.sift_like:
         # SIFT-style structure: hierarchical clusters with varying
         # spread + heavy-tailed magnitudes (local intrinsic dimension
@@ -108,6 +153,8 @@ def main():
     ap.add_argument("--data", default=None)
     ap.add_argument("--clustered", action="store_true")
     ap.add_argument("--sift-like", action="store_true", dest="sift_like")
+    ap.add_argument("--sift-desc", action="store_true", dest="sift_desc",
+                    help="SIFT-descriptor-statistics proxy (128-d uint8-style)")
     args = ap.parse_args()
 
     train, test, gt = load_data(args)
