@@ -1,10 +1,16 @@
 """On-device perf truth: chip-side latency / bandwidth / MFU, separated
 from the dev tunnel's wire time (VERDICT r1 item 6).
 
-Method: repeated-dispatch amortization — K async dispatches queued, one
-block at the end; per-dispatch device time = wall / K (dispatch cost and
-the single readback amortize away).  Peaks used for utilization are the
-v5e (TPU v5 lite) datasheet numbers: 197 TFLOP/s bf16, 819 GB/s HBM.
+Method: the kernel is iterated INSIDE one jitted computation with a
+``lax.fori_loop`` whose body perturbs the query batch by the loop index
+(so XLA cannot hoist the work) and folds a scalar of every output into
+the carry (so no iteration is dead).  Device time per call =
+(wall(R iters) - wall(1 iter)) / (R - 1): dispatch, tunnel RTT and the
+readback cancel in the subtraction.  This replaces the r1
+repeated-dispatch method, which still paid per-dispatch tunnel costs.
+
+Peaks for utilization are v5e (TPU v5 lite) datasheet numbers:
+197 TFLOP/s bf16, 819 GB/s HBM.
 
 Usage:
   python benchmarks/ondevice.py --n 1000000 --dims 128 --batch 1024
@@ -30,20 +36,53 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PEAK_BF16_TFLOPS = 197.0
-PEAK_F32_TFLOPS = 49.0  # v5e f32 (no native f32 MXU; via passes)
 PEAK_HBM_GBS = 819.0
 
 
-def amortized_s(fn, args, reps=50):
+def device_seconds(fn, q, rest, reps=16):
+    """Per-call on-device seconds via a two-point in-jit loop slope.
+
+    The body must consume a *sum* over every output: a scalar slice
+    like ``d[0, 0]`` lets XLA slice-propagate through top-k/matmul and
+    compute row 0 only (measured: the whole loop collapses to ~0).
+    The two loop lengths make dispatch, tunnel RTT and the readback
+    cancel in the slope."""
+    import jax
+    import jax.numpy as jnp
+
+    def looped(iters):
+        @jax.jit
+        def run(q, *rest):
+            def body(i, acc):
+                out = fn(q + (i * 1e-6), *rest)
+                return acc + sum(
+                    jnp.sum(o.astype(jnp.float32))
+                    for o in jax.tree_util.tree_leaves(out)
+                )
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        return run
+
+    lo, hi = max(reps // 4, 2), reps
+    r_lo, r_hi = looped(lo), looped(hi)
+    jax.block_until_ready(r_lo(q, *rest))  # compile
+    jax.block_until_ready(r_hi(q, *rest))
+    t_lo = min(
+        _walltime(r_lo, q, rest), _walltime(r_lo, q, rest)
+    )
+    t_hi = min(
+        _walltime(r_hi, q, rest), _walltime(r_hi, q, rest)
+    )
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
+
+
+def _walltime(f, q, rest):
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    jax.block_until_ready(f(q, *rest))
+    return time.perf_counter() - t0
 
 
 def main():
@@ -52,17 +91,17 @@ def main():
     ap.add_argument("--dims", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=16)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    from embeddinghub_tpu.ops import topk as topk_ops
     from embeddinghub_tpu.ops.pallas_topk import fused_topk_search
-    from embeddinghub_tpu.ops.topk import chunked_topk_search
 
-    chunk = 62500 if args.n % 62500 == 0 else 65536
-    n = -(-args.n // chunk) * chunk
+    # align to both the XLA chunk (65536) and the pallas chunk (2048)
+    n = -(-args.n // 65536) * 65536
     d, b, k = args.dims, args.batch, args.k
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
@@ -71,68 +110,76 @@ def main():
     x_sq = jnp.einsum("nd,nd->n", x, x)
     backend = jax.default_backend()
 
-    def rep(**kv):
-        print(json.dumps(kv), flush=True)
+    def rep(kernel, dt, *, bytes_hbm, flops, extra=None):
+        row = {
+            "kernel": kernel, "backend": backend, "n": n, "dims": d,
+            "batch": b, "k": k,
+            "device_ms": round(dt * 1e3, 3),
+            "qps_on_device": round(b / dt, 1),
+            "hbm_util": round(bytes_hbm / dt / 1e9 / PEAK_HBM_GBS, 3),
+            "mfu_bf16": round(flops / dt / 1e12 / PEAK_BF16_TFLOPS, 3),
+        }
+        if extra:
+            row.update(extra)
+        print(json.dumps(row), flush=True)
 
-    scan_bytes = n * d * 4  # the arena stream; q/outputs negligible
+    scan_f32 = n * d * 4
     flops = 2.0 * n * d * b
 
-    # --- XLA chunked exact search ---
-    f = jax.jit(
-        functools.partial(chunked_topk_search, metric="l2", k=k, chunk=chunk)
-    )
-    dt = amortized_s(f, (q, x, valid, x_sq), args.reps)
-    rep(
-        kernel="chunked_topk_search(XLA)", backend=backend, n=n, dims=d,
-        batch=b, k=k,
-        device_ms=round(dt * 1e3, 3),
-        qps_on_device=round(b / dt, 1),
-        hbm_util=round(scan_bytes / dt / 1e9 / PEAK_HBM_GBS, 3),
-        mfu_bf16=round(flops / dt / 1e12 / PEAK_BF16_TFLOPS, 3),
-    )
+    runs = []
 
-    # --- Pallas fused kernel (real Mosaic lowering) ---
-    try:
-        fp = functools.partial(
-            fused_topk_search, k=k, metric="l2", interpret=False
-        )
-        dt = amortized_s(fp, (q, x, valid, x_sq), args.reps)
-        rep(
-            kernel="fused_topk_search(pallas)", backend=backend, n=n,
-            dims=d, batch=b, k=k,
-            device_ms=round(dt * 1e3, 3),
-            qps_on_device=round(b / dt, 1),
-            hbm_util=round(scan_bytes / dt / 1e9 / PEAK_HBM_GBS, 3),
-            mfu_bf16=round(flops / dt / 1e12 / PEAK_BF16_TFLOPS, 3),
-        )
-    except Exception as e:  # noqa: BLE001 — pallas may not lower on CPU
-        rep(kernel="fused_topk_search(pallas)", backend=backend,
-            error=str(e)[:200])
+    # --- XLA chunked exact search (f32 HIGHEST) ---
+    runs.append((
+        "chunked_topk_search(XLA,f32)",
+        functools.partial(topk_ops.chunked_topk_search, metric="l2", k=k,
+                          chunk=65536),
+        (q, x, valid, x_sq), scan_f32, flops,
+    ))
 
-    # --- bf16 variant of the exact scan (MXU-native operand width) ---
-    xb = x.astype(jnp.bfloat16)
-    qb = q.astype(jnp.bfloat16)
+    # --- hierarchical group-max exact path (f32 HIGHEST / bf16 score) ---
+    for name, em in (("exact_f32", True), ("bf16_score", False)):
+        runs.append((
+            f"grouped_topk_search({name})",
+            functools.partial(topk_ops.grouped_topk_search, metric="l2",
+                              k=k, exact_matmul=em),
+            (q, x, valid, x_sq), scan_f32, flops,
+        ))
 
-    def bf16_scan(qb, xb, valid, x_sq):
-        dots = jax.lax.dot_general(
-            qb, xb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dist = x_sq[None, :] - 2.0 * dots
-        dist = jnp.where(valid[None, :], dist, jnp.inf)
-        dd, ii = jax.lax.top_k(-dist, k)
-        return -dd, ii
+    # --- XLA approx path (bf16 matmul + approx_max_k + f32 rerank) ---
+    runs.append((
+        "approx_oversample(XLA,bf16)",
+        functools.partial(topk_ops.approx_oversample_search, metric="l2",
+                          k=k, oversample=8),
+        (q, x, valid, x_sq), scan_f32, flops,
+    ))
 
-    fb = jax.jit(bf16_scan)
-    dt = amortized_s(fb, (qb, xb, valid, x_sq), args.reps)
-    rep(
-        kernel="bf16_full_scan(XLA)", backend=backend, n=n, dims=d,
-        batch=b, k=k,
-        device_ms=round(dt * 1e3, 3),
-        qps_on_device=round(b / dt, 1),
-        hbm_util=round(scan_bytes / 2 / dt / 1e9 / PEAK_HBM_GBS, 3),
-        mfu_bf16=round(flops / dt / 1e12 / PEAK_BF16_TFLOPS, 3),
-    )
+    # --- Pallas fused kernel, exact + fast modes ---
+    for name, exact in (("pallas_exact", True), ("pallas_bf16", False)):
+        runs.append((
+            f"fused_topk_search({name})",
+            functools.partial(fused_topk_search, k=k, metric="l2",
+                              interpret=False, exact=exact,
+                              block_b=min(b, 256)),
+            (q, x, valid, x_sq), scan_f32, flops,
+        ))
+
+    # --- int8 quantized path ---
+    scales = jnp.maximum(jnp.max(jnp.abs(x), axis=1) / 127.0, 1e-30)
+    xq8 = jnp.clip(jnp.round(x / scales[:, None]), -127, 127).astype(jnp.int8)
+    runs.append((
+        "int8_oversample",
+        functools.partial(topk_ops.int8_oversample_search, metric="l2",
+                          k=k, oversample=8),
+        (q, xq8, scales, valid, x_sq), n * d, flops,
+    ))
+
+    for kernel, fn, fargs, bytes_hbm, fl in runs:
+        try:
+            dt = device_seconds(fn, fargs[0], fargs[1:], args.reps)
+            rep(kernel, dt, bytes_hbm=bytes_hbm, flops=fl)
+        except Exception as e:  # noqa: BLE001 — per-kernel isolation
+            print(json.dumps({"kernel": kernel, "backend": backend,
+                              "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":

