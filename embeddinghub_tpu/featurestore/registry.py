@@ -147,6 +147,200 @@ class Registrar:
             name, "REDIS_ONLINE", cfg, description=description, team=team
         )
 
+    def register_sqlite_online(
+        self, name: str = "sqlite-online", path: str = ":memory:"
+    ) -> Provider:
+        """Durable cross-process online store (the seat DynamoDB/
+        Cassandra hold in the reference)."""
+        return self.register_provider(name, "SQLITE_ONLINE", {"path": path})
+
+    # ---- external-infrastructure builders (reference register.py's
+    # 40+ register_* surface).  They serialize the same config fields
+    # the reference sends; registration/apply/metadata work end-to-end,
+    # and orchestration fails with a clear error unless a provider
+    # factory for the type is installed (none of this infra exists in
+    # this image — the contract seat is covered by the local providers
+    # above, proven by the shared behavioral suite).
+
+    def register_postgres(
+        self, name: str = "postgres", host: str = "0.0.0.0",
+        port: int = 5432, user: str = "postgres", password: str = "",
+        database: str = "postgres", sslmode: str = "disable", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "POSTGRES_OFFLINE",
+            {"host": host, "port": port, "user": user,
+             "password": password, "database": database,
+             "sslmode": sslmode}, **kw,
+        )
+
+    def register_snowflake(
+        self, name: str = "snowflake", username: str = "", password: str = "",
+        account: str = "", organization: str = "", database: str = "",
+        schema: str = "PUBLIC", warehouse: str = "", role: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "SNOWFLAKE_OFFLINE",
+            {"username": username, "password": password,
+             "account": account, "organization": organization,
+             "database": database, "schema": schema,
+             "warehouse": warehouse, "role": role}, **kw,
+        )
+
+    def register_redshift(
+        self, name: str = "redshift", host: str = "", port: int = 5439,
+        user: str = "", password: str = "", database: str = "dev", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "REDSHIFT_OFFLINE",
+            {"host": host, "port": port, "user": user,
+             "password": password, "database": database}, **kw,
+        )
+
+    def register_bigquery(
+        self, name: str = "bigquery", project_id: str = "",
+        dataset_id: str = "", credentials_path: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "BIGQUERY_OFFLINE",
+            {"project_id": project_id, "dataset_id": dataset_id,
+             "credentials_path": credentials_path}, **kw,
+        )
+
+    def register_clickhouse(
+        self, name: str = "clickhouse", host: str = "", port: int = 9000,
+        user: str = "default", password: str = "", database: str = "default",
+        ssl: bool = False, **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "CLICKHOUSE_OFFLINE",
+            {"host": host, "port": port, "user": user,
+             "password": password, "database": database, "ssl": ssl}, **kw,
+        )
+
+    def register_mysql(
+        self, name: str = "mysql", host: str = "", port: int = 3306,
+        user: str = "root", password: str = "", database: str = "mysql", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "MYSQL_OFFLINE",
+            {"host": host, "port": port, "user": user,
+             "password": password, "database": database}, **kw,
+        )
+
+    def register_dynamodb(
+        self, name: str = "dynamodb", region: str = "us-east-1",
+        access_key: str = "", secret_key: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "DYNAMODB_ONLINE",
+            {"region": region, "access_key": access_key,
+             "secret_key": secret_key}, **kw,
+        )
+
+    def register_cassandra(
+        self, name: str = "cassandra", host: str = "", port: int = 9042,
+        username: str = "", password: str = "", keyspace: str = "",
+        consistency: str = "THREE", replication: int = 3, **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "CASSANDRA_ONLINE",
+            {"host": host, "port": port, "username": username,
+             "password": password, "keyspace": keyspace,
+             "consistency": consistency, "replication": replication}, **kw,
+        )
+
+    def register_firestore(
+        self, name: str = "firestore", project_id: str = "",
+        collection: str = "", credentials_path: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "FIRESTORE_ONLINE",
+            {"project_id": project_id, "collection": collection,
+             "credentials_path": credentials_path}, **kw,
+        )
+
+    def register_mongodb(
+        self, name: str = "mongodb", host: str = "", port: int = 27017,
+        username: str = "", password: str = "", database: str = "",
+        throughput: int = 1000, **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "MONGODB_ONLINE",
+            {"host": host, "port": port, "username": username,
+             "password": password, "database": database,
+             "throughput": throughput}, **kw,
+        )
+
+    def register_pinecone(
+        self, name: str = "pinecone", project_id: str = "",
+        environment: str = "", api_key: str = "", **kw
+    ) -> Provider:
+        """Reference vector-store seat (provider/pinecone.go); the TPU
+        engine (register_engine_vector_store) is the native drop-in."""
+        return self.register_provider(
+            name, "PINECONE_VECTOR",
+            {"project_id": project_id, "environment": environment,
+             "api_key": api_key}, **kw,
+        )
+
+    def register_weaviate(
+        self, name: str = "weaviate", url: str = "", api_key: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "WEAVIATE_VECTOR", {"url": url, "api_key": api_key}, **kw,
+        )
+
+    def register_s3(
+        self, name: str = "s3", bucket: str = "", region: str = "us-east-1",
+        access_key: str = "", secret_key: str = "", path: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "S3_FILESTORE",
+            {"bucket": bucket, "region": region, "access_key": access_key,
+             "secret_key": secret_key, "path": path}, **kw,
+        )
+
+    def register_gcs(
+        self, name: str = "gcs", bucket: str = "", path: str = "",
+        credentials_path: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "GCS_FILESTORE",
+            {"bucket": bucket, "path": path,
+             "credentials_path": credentials_path}, **kw,
+        )
+
+    def register_azure_blob(
+        self, name: str = "azure-blob", account_name: str = "",
+        account_key: str = "", container: str = "", path: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "AZURE_FILESTORE",
+            {"account_name": account_name, "account_key": account_key,
+             "container": container, "path": path}, **kw,
+        )
+
+    def register_spark(
+        self, name: str = "spark", executor_type: str = "EMR",
+        executor_config: dict | None = None,
+        filestore: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "SPARK_OFFLINE",
+            {"executor_type": executor_type,
+             "executor_config": executor_config or {},
+             "filestore": filestore}, **kw,
+        )
+
+    def register_kubernetes(
+        self, name: str = "k8s", image: str = "", filestore: str = "", **kw
+    ) -> Provider:
+        return self.register_provider(
+            name, "K8S_OFFLINE", {"image": image, "filestore": filestore},
+            **kw,
+        )
+
     # -------------------------------------------------------------- sources
 
     def register_primary_data(

@@ -9,15 +9,18 @@ with reciprocal links — but restructured for TPU:
 
   * the graph is flat int32 neighbor tables (``[cap, 2M]`` layer 0,
     compact ``[n_l, M]`` upper layers), not linked lists;
-  * queries run through the batched beam kernel
-    (:mod:`embeddinghub_tpu.ops.beam`) — one device dispatch per layer
-    for a whole query batch;
-  * construction inserts in **waves**: candidate search for a wave of
-    nodes runs batched on device against the pre-wave graph, then link
-    selection + reciprocal pruning commit on the host (SURVEY.md §7's
-    host-coordinated commit step).  Wave inserts don't see their wave
-    siblings at search time; waves are capped to a fraction of the
-    current graph so the quality effect stays negligible.
+  * queries run through ONE fused device dispatch (upper-layer greedy
+    descent + layer-0 beam, :mod:`embeddinghub_tpu.ops.wave_insert`);
+  * construction inserts in **waves**: beyond a tiny bootstrap
+    threshold the ENTIRE wave — candidate search, forward heuristic
+    selection, reciprocal link commit with overflow pruning, vector
+    scatter — executes as one jitted device step on donated state
+    (``ops/wave_insert.make_wave_commit``).  The device link tables are
+    then authoritative; the host mirror syncs down lazily
+    (``_sync_host``) for snapshots / updates / removes.  Wave inserts
+    don't see their wave siblings at search time; waves are capped to a
+    fraction of the current graph so the quality effect stays
+    negligible.
 
 Use this engine when the per-chip row count is large enough that a full
 scan loses to a graph walk, or for hnswlib-parity recall sweeps; for
@@ -109,6 +112,14 @@ class HNSWIndex(Index):
         self._dirty_vec: set[int] = set()
         self._dirty_nb0: set[int] = set()
         self._dirty_upper: dict[int, set[int]] = {}
+        # Fused insert path (r2): once the graph outgrows the tiny
+        # threshold, whole waves commit in ONE jitted device step
+        # (ops/wave_insert.py) and the DEVICE link tables become
+        # authoritative; the host mirror (_nb0/_upper) goes stale until
+        # _sync_host downloads it (snapshot / remove / update paths).
+        self._host_stale = False
+        self._wave_fn = None
+        self._gs_fns: dict[int, object] = {}
 
     # ---------------------------------------------------------------- helpers
 
@@ -164,11 +175,20 @@ class HNSWIndex(Index):
 
         # wave-based insert: never insert more than half the current
         # graph at once so wave siblings don't degrade link quality
+        tiny = max(4 * self.ef_construction, 512)
         i = 0
         while i < len(pending):
             built = max(self._graph_size(), 8)
             wave = min(len(pending) - i, max(8, built))
-            self._insert_wave(pending[i : i + wave], pvecs[i : i + wave])
+            if built > tiny:
+                # fused path: the whole wave commits in one device step
+                self._insert_wave_fused(
+                    pending[i : i + wave], pvecs[i : i + wave]
+                )
+            else:
+                self._insert_wave(
+                    pending[i : i + wave], pvecs[i : i + wave]
+                )
             i += wave
 
     # ------------------------------------------------------------- bulk build
@@ -437,6 +457,9 @@ class HNSWIndex(Index):
     def _ensure_capacity(self, need: int) -> None:
         if need <= self._cap:
             return
+        # pull device-authoritative links down at the OLD capacity before
+        # the host mirror is resized (fused-insert path)
+        self._sync_host()
         new_cap = next_pow2(need, floor=self._cap)
         for name, fill in (("_hx", 0), ("_hvalid", False), ("_levels", -1)):
             old = getattr(self, name)
@@ -462,6 +485,7 @@ class HNSWIndex(Index):
 
     def _unlink(self, r: int) -> None:
         """Remove r from the graph (drop its links + reciprocal links)."""
+        self._sync_host()  # host mirror may lag the fused insert path
         peers = self._nb0[r]
         for p in peers[peers >= 0]:
             lst = self._nb0[p]
@@ -491,6 +515,104 @@ class HNSWIndex(Index):
             j = int(np.argmax(lv))
             self._entry = int(live[j])
             self._max_level = int(lv[j])
+
+    # ----------------------------------------------------- fused insert wave
+
+    def _insert_wave_fused(self, rows: np.ndarray, pvecs: np.ndarray) -> None:
+        """One-dispatch wave commit (ops/wave_insert.py): search, forward
+        selection, reciprocal links and the vector scatter all execute in
+        a single jitted step on donated device state.  No readback — the
+        host link mirror goes stale (``_sync_host`` downloads on demand).
+        Waves pipeline over the tunnel: throughput is bound by the vector
+        upload + device step, not by round trips (~25 RTTs in r2)."""
+        from embeddinghub_tpu.ops import wave_insert
+
+        levels = np.asarray([self._assign_level() for _ in rows], np.int32)
+        old_max = self._max_level
+        new_max = max(old_max, int(levels.max(initial=0)))
+
+        # the kernel scatters the wave's vectors itself
+        self._dirty_vec.difference_update(int(r) for r in rows)
+        state = self._device_arrays()
+
+        # grow the upper stack first if this wave raises max_level (the
+        # new layers start empty; this wave links only up to old_max,
+        # matching hnswlib: a level-raising node becomes entry with no
+        # links at its new layers until a peer arrives)
+        ustack = state["ustack"]
+        if new_max > ustack.shape[0]:
+            pad = jnp.full(
+                (new_max - ustack.shape[0], self._cap, self.m), -1, jnp.int32
+            )
+            ustack = jnp.concatenate([ustack, pad], axis=0)
+
+        w = len(rows)
+        bw = next_pow2(w, floor=256 if w > 64 else 8)
+        rows_p = np.full((bw,), rows[0], np.int64)
+        rows_p[:w] = rows
+        vecs_p = np.broadcast_to(pvecs[0], (bw, self.dims)).copy()
+        vecs_p[:w] = pvecs
+        lt_p = np.zeros((bw,), np.int32)
+        lt_p[:w] = np.minimum(levels, max(old_max, 0))
+        wvalid = np.zeros((bw,), bool)
+        wvalid[:w] = True
+
+        if self._wave_fn is None:
+            # Narrow expansion: inside ONE jit, extra hops are cheap
+            # device iterations (no tunnel RTT per hop like the r2
+            # host-driven path), while wide expansion multiplies the
+            # dominant per-hop neighbor gather ([W, E*M, D] bytes).
+            self._wave_fn = wave_insert.make_wave_commit(
+                metric=self.metric,
+                m=self.m,
+                m0=self.m0,
+                ef_construction=self.ef_construction,
+                expand=8,
+                max_hops=64,
+            )
+        (
+            state["x"], state["x_sq"], state["valid"],
+            state["nb0"], new_ustack,
+        ) = self._wave_fn(
+            state["x"], state["x_sq"], state["valid"], state["nb0"],
+            ustack,
+            jnp.int32(self._entry),
+            jnp.asarray(rows_p, jnp.int32),
+            jnp.asarray(vecs_p),
+            jnp.asarray(np.einsum("wd,wd->w", vecs_p, vecs_p)),
+            jnp.asarray(lt_p),
+            jnp.asarray(wvalid),
+        )
+        state["ustack"] = new_ustack
+        self._host_stale = True
+
+        # host bookkeeping: levels / entry / max_level stay host-accurate
+        for j, r in enumerate(rows):
+            r = int(r)
+            lvl = int(levels[j])
+            self._levels[r] = lvl
+            if lvl > self._max_level:
+                self._entry, self._max_level = r, lvl
+
+    def _sync_host(self) -> None:
+        """Download the device link tables into the host mirror (the
+        fused insert path leaves the host stale).  Needed before host
+        graph surgery (updates/removes) and snapshots."""
+        if not self._host_stale or self._device_state is None:
+            self._host_stale = False
+            return
+        state = self._device_state
+        self._nb0[:] = np.asarray(state["nb0"])
+        ustack = np.asarray(state["ustack"])
+        self._upper = {}
+        for layer in range(1, ustack.shape[0] + 1):
+            nodes = np.flatnonzero(self._levels >= layer)
+            tbl = ustack[layer - 1]
+            self._upper[layer] = {
+                int(nd): [int(v) for v in tbl[nd] if v >= 0]
+                for nd in nodes
+            }
+        self._host_stale = False
 
     # ------------------------------------------------------------ insert wave
 
@@ -678,101 +800,11 @@ class HNSWIndex(Index):
                 out_d[layer] = dd
             return out_ids, out_d
 
-        # Device path, hnswlib-faithful descent (addPoint semantics):
-        # layers ABOVE a node's level are crossed with the ef=1 greedy
-        # walk; only layers <= level run the ef_construction beam — and
-        # only for the (few) wave members that link there.  Layer ef
-        # values are FIXED (64 upper / pow2(ef) base) rather than
-        # tracking live node counts: on the tunneled chip every new
-        # compiled shape costs ~0.7 s, so shape stability beats the
-        # marginal FLOPs.
-        state = self._device_arrays()
-        b = next_pow2(w, floor=8)
-        # pad with copies of a real query: padded rows then converge in
-        # the same number of hops instead of wandering from the zero
-        # vector and stalling the batch's joint termination
-        q = np.broadcast_to(pvecs[0], (b, self.dims)).copy()
-        q[:w] = pvecs
-        qd = jnp.asarray(q)
-        cur = jnp.full((b,), self._entry, jnp.int32)
-        ef0 = min(next_pow2(ef, floor=8), 1024)
-        # wide expansion trades redundant distance evals for ~E x fewer
-        # sequential hops — the hops carry a ~5 ms fixed cost each, so
-        # they, not FLOPs, bound insert latency
-        exp = max(self.expand, 64)
-        lv = np.minimum(levels, self._max_level)
-        for layer in range(self._max_level, 0, -1):
-            nb, _ = state["upper"][layer]
-            members = np.flatnonzero(lv >= layer)
-            ef_l = min(64, ef0)
-            if members.size:
-                # beam only the member subset (bucketed batch); cur stays
-                # device-resident — entries are gathered and the pool
-                # nearest scattered back without host round trips
-                mb = next_pow2(members.size, floor=8)
-                mq = np.broadcast_to(pvecs[members[0]], (mb, self.dims)).copy()
-                mq[: members.size] = pvecs[members]
-                mrows = np.full((mb,), members[0], np.int64)
-                mrows[: members.size] = members
-                mrows_d = jnp.asarray(mrows)
-                d_d, d_ids = beam_ops.beam_search(
-                    jnp.asarray(mq),
-                    cur[mrows_d],
-                    nb,
-                    state["x"],
-                    state["x_sq"],
-                    state["valid"],
-                    metric=self.metric,
-                    ef=ef_l,
-                    expand=min(exp, ef_l),
-                    max_hops=24,
-                )
-                ids_np = np.asarray(d_ids)[: members.size]
-                d_np = np.asarray(d_d)[: members.size]
-                oi = np.full((w, ef), -1, np.int64)
-                od = np.full((w, ef), np.inf, np.float32)
-                take = min(ef, ids_np.shape[1])
-                oi[members, :take] = ids_np[:, :take]
-                od[members, :take] = d_np[:, :take]
-                out_ids[layer] = oi
-                out_d[layer] = od
-            else:
-                out_ids[layer] = np.full((w, ef), -1, np.int64)
-                out_d[layer] = np.full((w, ef), np.inf, np.float32)
-            # everyone threads down: members continue from their pool
-            # nearest, the rest via the greedy walk on this layer
-            cur = beam_ops.greedy_descend(
-                qd, cur, nb, state["x"], state["x_sq"], metric=self.metric
-            )
-            if members.size:
-                # pad rows repeat members[0] with that same query's
-                # result — duplicate scatters stay consistent, and the
-                # shape is the fixed mb bucket (no per-count recompiles)
-                cur = cur.at[mrows_d].set(d_ids[:, 0])
-        d_d, d_ids = beam_ops.beam_search(
-            qd,
-            cur,
-            state["nb0"],
-            state["x"],
-            state["x_sq"],
-            state["valid"],
-            metric=self.metric,
-            ef=ef0,
-            expand=min(exp, ef0),
-            max_hops=32,
+        # unreachable: add() routes graphs beyond the tiny threshold to
+        # the fused device wave (_insert_wave_fused)
+        raise AssertionError(
+            "host _search_candidates called on a non-tiny graph"
         )
-        ids_np = np.asarray(d_ids)[:w]
-        d_np = np.asarray(d_d)[:w]
-        pad = max(ef - ef0, 0)
-        out_ids[0] = np.pad(
-            ids_np[:, :ef].astype(np.int64),
-            ((0, 0), (0, pad)),
-            constant_values=-1,
-        )
-        out_d[0] = np.pad(
-            d_np[:, :ef], ((0, 0), (0, pad)), constant_values=np.inf
-        )
-        return out_ids, out_d
 
     def _layer_nodes(self, layer: int) -> np.ndarray:
         if layer == 0:
@@ -792,6 +824,10 @@ class HNSWIndex(Index):
     # ----------------------------------------------------------------- search
 
     def _invalidate_device(self) -> None:
+        if self._host_stale:
+            # device link tables are authoritative after fused inserts;
+            # pull them down before dropping the device copy
+            self._sync_host()
         self._device_state = None
         self._dirty_vec.clear()
         self._dirty_nb0.clear()
@@ -859,19 +895,15 @@ class HNSWIndex(Index):
         for layer, dirty in self._dirty_upper.items():
             if not dirty:
                 continue
+            if layer > state["ustack"].shape[0]:
+                # a host-path wave raised max_level: rebuild the stack
+                self._device_state = None
+                self._device_arrays()
+                return
             rows = self._pad_rows(np.fromiter(dirty, np.int64))
-            if layer in state["upper"]:
-                tbl, _ = state["upper"][layer]
-                tbl = tbl.at[jnp.asarray(rows)].set(
-                    jnp.asarray(self._upper_rows(layer, rows))
-                )
-            else:  # a wave raised max_level: fresh dense table
-                full = np.full((self._cap, self.m), -1, np.int32)
-                nodes = self._upper.get(layer, {})
-                for node, lst in nodes.items():
-                    full[node, : len(lst)] = lst[: self.m]
-                tbl = jnp.asarray(full)
-            state["upper"][layer] = (tbl, None)
+            state["ustack"] = state["ustack"].at[
+                layer - 1, jnp.asarray(rows)
+            ].set(jnp.asarray(self._upper_rows(layer, rows)))
         self._clear_dirty()
 
     def _device_arrays(self):
@@ -880,24 +912,23 @@ class HNSWIndex(Index):
                 self._flush_delta(self._device_state)
             return self._device_state
         x = self._prep(self._hx)
+        # stacked [L, cap, M] upper tables: one array so the fused
+        # search/insert steps loop layers statically inside a single jit
+        # (upper layers are small, ~N/M^layer nodes; density keeps ids
+        # global).  Every layer up to max_level gets a slab, even if
+        # empty — searching an empty layer just returns the entry point.
+        L = max(self._max_level, 0)
+        ustack = np.full((L, self._cap, self.m), -1, np.int32)
+        for layer in range(1, L + 1):
+            for node, lst in self._upper.get(layer, {}).items():
+                ustack[layer - 1, node, : len(lst)] = lst[: self.m]
         state = {
             "x": jnp.asarray(x),
             "x_sq": jnp.asarray(np.einsum("nd,nd->n", x, x)),
             "valid": jnp.asarray(self._hvalid),
             "nb0": jnp.asarray(self._nb0),
-            "upper": {},
+            "ustack": jnp.asarray(ustack),
         }
-        for layer in range(1, self._max_level + 1):
-            nodes = self._upper.get(layer, {})
-            # dense [cap, M] table for the layer (upper layers are small:
-            # ~N/M^layer nodes, so density is wasteful in memory but keeps
-            # ids global; compact tables come with the big-N path).  Every
-            # layer up to max_level gets a table, even if empty — search
-            # of an empty layer just returns the entry point.
-            tbl = np.full((self._cap, self.m), -1, np.int32)
-            for node, lst in nodes.items():
-                tbl[node, : len(lst)] = lst[: self.m]
-            state["upper"][layer] = (jnp.asarray(tbl), None)
         self._device_state = state
         self._clear_dirty()
         return state
@@ -917,27 +948,29 @@ class HNSWIndex(Index):
         pb = _bucket(b)
         q = np.zeros((pb, self.dims), np.float32)
         q[:b] = self._prep(queries)
-        qd = jnp.asarray(q)
-        cur = jnp.full((pb,), self._entry, jnp.int32)
-        for layer in range(self._max_level, 0, -1):
-            if layer not in state["upper"]:
-                continue
-            nb, _ = state["upper"][layer]
-            cur = beam_ops.greedy_descend(
-                qd, cur, nb, state["x"], state["x_sq"], metric=self.metric
-            )
         ef_l = min(next_pow2(ef, floor=8), 1024)
-        d, ids = beam_ops.beam_search(
-            qd,
-            cur,
+        # fused full-graph search: upper-layer descent + layer-0 beam in
+        # ONE dispatch (the per-layer dispatch loop cost one tunnel round
+        # trip per layer in r2)
+        gs = self._gs_fns.get(ef_l)
+        if gs is None:
+            from embeddinghub_tpu.ops import wave_insert
+
+            gs = wave_insert.make_graph_search(
+                metric=self.metric,
+                ef=ef_l,
+                expand=self.expand,
+                max_hops=2 * ef_l + 64,
+            )
+            self._gs_fns[ef_l] = gs
+        d, ids = gs(
+            jnp.asarray(q),
+            jnp.int32(self._entry),
             state["nb0"],
+            state["ustack"],
             state["x"],
             state["x_sq"],
             state["valid"],
-            metric=self.metric,
-            ef=ef_l,
-            expand=self.expand,
-            max_hops=2 * ef_l + 64,
         )
         d = np.asarray(d)[:b, :k]
         ids = np.asarray(ids)[:b, :k].astype(np.int64)
@@ -961,6 +994,7 @@ class HNSWIndex(Index):
     # -------------------------------------------------------------- snapshot
 
     def state_arrays(self) -> dict[str, np.ndarray]:
+        self._sync_host()  # fused inserts leave the host mirror stale
         arrs = {
             "x": self._hx,
             "valid": self._hvalid,

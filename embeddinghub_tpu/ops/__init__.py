@@ -10,6 +10,6 @@ from embeddinghub_tpu.ops.distance import (  # noqa: F401
 from embeddinghub_tpu.ops.topk import (  # noqa: F401
     masked_topk,
     chunked_topk_search,
-    grouped_topk_search,
+    certified_topk_search,
     quantized_chunked_search,
 )

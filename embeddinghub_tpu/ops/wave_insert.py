@@ -1,0 +1,260 @@
+"""Single-dispatch HNSW insert wave — the whole commit on device.
+
+The r1/r2 incremental insert paths paid ~25 tunnel round trips per wave
+(per-layer beam dispatches, host link bookkeeping, prune dispatches,
+delta scatters).  This module fuses the entire hnswlib ``addPoint``
+wave — vector scatter, layer descent + ef_construction beam, forward
+heuristic selection, reciprocal link commit with overflow pruning —
+into ONE jitted device step with donated graph state.  Host keeps only
+levels/entry bookkeeping; the device arrays are the live graph and the
+host mirror goes stale until explicitly synced down (snapshot path).
+
+Reference semantics anchored (hnswlib behind embeddingstore/index.cc:
+20-37, version.cc:47-56):
+  * greedy ef=1 walk on layers above the node's level, ef_construction
+    beam on layers <= level (``link_top`` = min(level, pre-wave max));
+  * forward links: neighbor-selection heuristic, M kept per layer;
+  * reciprocal edges appended when the target list fits, re-pruned with
+    the same heuristic only on overflow (hnswlib ``prune_node``);
+  * wave siblings don't see each other at search time (waves are capped
+    by the caller so the quality effect stays negligible).
+
+Everything is fixed-shape: W (wave bucket), E = W*m edges per layer,
+static layer count L from the stacked upper tables.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from embeddinghub_tpu.ops import beam as beam_ops
+from embeddinghub_tpu.ops import nn_descent as nnd
+
+INF = jnp.float32(jnp.inf)
+_DUMP = jnp.int32(1 << 30)  # sort-key sentinel for masked edges
+
+
+def _reciprocal_commit(
+    table: jax.Array,        # [cap, width] layer link table (post-forward)
+    x: jax.Array,
+    x_sq: jax.Array,
+    src: jax.Array,          # [E] global source rows (wave nodes)
+    dst: jax.Array,          # [E] global targets (-1 = padding)
+    edge_valid: jax.Array,   # [E] bool
+    dump_row: jax.Array,     # scalar int32: safe no-op scatter target
+    *,
+    mmax: int,
+    metric: str,
+) -> jax.Array:
+    """Append reciprocal edges src->dst as dst->src, hnswlib overflow
+    semantics, one scatter.  Masked edges re-write ``dump_row`` with its
+    own current content (a no-op; the caller guarantees no real edge
+    targets it)."""
+    e = src.shape[0]
+    r = min(mmax, 32)  # max incoming per target honored per wave
+
+    key = jnp.where(edge_valid, dst, _DUMP)
+    order = jnp.argsort(key)
+    gd = key[order]
+    gs = jnp.where(edge_valid[order], src[order], -1)
+
+    iota = jnp.arange(e, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), gd[1:] != gd[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(head, iota, 0))
+
+    # incoming sources per run, first R, via static shifts
+    gs_pad = jnp.concatenate([gs, jnp.full((r,), -1, gs.dtype)])
+    gd_pad = jnp.concatenate([gd, jnp.full((r,), _DUMP, gd.dtype)])
+    inc = jnp.stack(
+        [
+            jnp.where(gd_pad[j : e + j] == gd, gs_pad[j : e + j], -1)
+            for j in range(r)
+        ],
+        axis=1,
+    )  # [E, R] (only meaningful on run heads)
+
+    owner = head & (gd < _DUMP)
+    t_safe = jnp.where(owner, gd, dump_row)
+    cur = table[t_safe]                                   # [E, width]
+    comb = jnp.concatenate([cur, inc], axis=1)            # [E, width+R]
+
+    # compact valid-first (stable order preserved within each side)
+    ordc = jnp.argsort((comb < 0).astype(jnp.int32), axis=1, stable=True)
+    compacted = jnp.take_along_axis(comb, ordc, axis=1)
+    count = jnp.sum((comb >= 0).astype(jnp.int32), axis=1)
+    fits = count <= mmax
+
+    pruned = nnd.heuristic_prune(
+        x,
+        x_sq,
+        comb,
+        m_keep=mmax,
+        metric="ip" if metric != "l2" else "l2",
+        cand_k=comb.shape[1],
+        q=x[t_safe],
+        q_sq=x_sq[t_safe],
+    )
+    final = jnp.where(fits[:, None], compacted[:, :mmax], pruned[:, :mmax])
+
+    # propagate the owner's result to every edge of its run, then make
+    # masked edges a no-op rewrite of dump_row
+    final_all = final[run_start]
+    t_all = jnp.where(gd < _DUMP, gd, dump_row)
+    dump_payload = table[dump_row]
+    payload = jnp.where(
+        (gd < _DUMP)[:, None], final_all, dump_payload[None, :]
+    )
+    return table.at[t_all].set(payload)
+
+
+def make_wave_commit(
+    *,
+    metric: str,
+    m: int,
+    m0: int,
+    ef_construction: int,
+    ef_upper: int = 64,
+    expand: int = 64,
+    max_hops: int = 32,
+):
+    """Build the jitted single-dispatch wave commit for a given config.
+
+    Returned fn signature:
+        (x, x_sq, valid, nb0, upper, entry, rows, vecs, vecs_sq,
+         link_top, wave_valid) ->
+        (x, x_sq, valid, nb0, upper)
+    with ``upper`` a stacked [L, cap, m] table (L may be 0) and
+    ``link_top[w] = min(level_w, pre-wave max_level)``.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def wave_commit(
+        x, x_sq, valid, nb0, upper, entry, rows, vecs, vecs_sq,
+        link_top, wave_valid,
+    ):
+        w = rows.shape[0]
+        L = upper.shape[0]
+
+        # ---- 1. scatter wave vectors (padding rows repeat row 0 with
+        # identical payloads, so duplicate scatters stay deterministic)
+        x = x.at[rows].set(vecs)
+        x_sq = x_sq.at[rows].set(vecs_sq)
+        valid = valid.at[rows].set(True)
+
+        # ---- 2. descent + per-layer candidate pools ----
+        cur = jnp.full((w,), entry, jnp.int32)
+        pools = {}
+        for layer in range(L, 0, -1):
+            nb_l = upper[layer - 1]
+            member = link_top >= layer
+            d_l, ids_l = beam_ops.beam_search(
+                vecs, cur, nb_l, x, x_sq, valid,
+                metric=metric, ef=ef_upper,
+                expand=min(expand, ef_upper), max_hops=max_hops,
+            )
+            pools[layer] = jnp.where(member[:, None], ids_l, -1)
+            greedy = beam_ops.greedy_descend(
+                vecs, cur, nb_l, x, x_sq, metric=metric,
+            )
+            beam_top = jnp.where(ids_l[:, 0] >= 0, ids_l[:, 0], cur)
+            cur = jnp.where(member, beam_top, greedy)
+        ef0 = min(
+            max(1 << (ef_construction - 1).bit_length(), 8), 1024
+        )
+        _, ids0 = beam_ops.beam_search(
+            vecs, cur, nb0, x, x_sq, valid,
+            metric=metric, ef=ef0, expand=min(expand, ef0),
+            max_hops=max_hops,
+        )
+        pools[0] = ids0
+
+        # the wave must never link to itself (its rows are valid in x
+        # during the beam, though unreachable; belt-and-braces mask)
+        for layer in pools:
+            p = pools[layer]
+            self_hit = p == rows[:, None].astype(p.dtype)
+            pools[layer] = jnp.where(self_hit, -1, p)
+
+        # ---- 3. forward selection + commit, per layer ----
+        dump = rows[0]
+        sels = {}
+        for layer in range(0, L + 1):
+            pool = pools[layer]
+            cw = pool.shape[1]
+            sel = nnd.heuristic_prune(
+                x, x_sq, pool,
+                m_keep=m,
+                metric="ip" if metric != "l2" else "l2",
+                cand_k=cw,
+                q=vecs, q_sq=vecs_sq,
+            )[:, :m]
+            member = (link_top >= layer) & wave_valid
+            sel = jnp.where(member[:, None], sel, -1)
+            sels[layer] = sel
+            if layer == 0:
+                pad = jnp.full((w, m0 - m), -1, jnp.int32)
+                payload = jnp.concatenate([sel, pad], axis=1)
+                # non-wave-valid rows must not lose their links: rewrite
+                # their current row (padding rows duplicate row 0 whose
+                # payload is consistent)
+                cur_rows = nb0[rows]
+                payload = jnp.where(
+                    wave_valid[:, None], payload, cur_rows
+                )
+                nb0 = nb0.at[rows].set(payload)
+            else:
+                cur_rows = upper[layer - 1][rows]
+                payload = jnp.where(member[:, None], sel, cur_rows)
+                upper = upper.at[layer - 1, rows].set(payload)
+
+        # ---- 4. reciprocal commits, per layer ----
+        for layer in range(0, L + 1):
+            sel = sels[layer]
+            src = jnp.repeat(rows.astype(jnp.int32), m).reshape(w, m)
+            member = (link_top >= layer) & wave_valid
+            ev = (sel >= 0) & member[:, None]
+            if layer == 0:
+                nb0 = _reciprocal_commit(
+                    nb0, x, x_sq,
+                    src.reshape(-1), sel.reshape(-1), ev.reshape(-1),
+                    dump, mmax=m0, metric=metric,
+                )
+            else:
+                upd = _reciprocal_commit(
+                    upper[layer - 1], x, x_sq,
+                    src.reshape(-1), sel.reshape(-1), ev.reshape(-1),
+                    dump, mmax=m, metric=metric,
+                )
+                upper = upper.at[layer - 1].set(upd)
+
+        return x, x_sq, valid, nb0, upper
+
+    return wave_commit
+
+
+def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int):
+    """Fused full-graph query: greedy descent through the stacked upper
+    layers + layer-0 beam, one dispatch (the r2 search paid one dispatch
+    per layer)."""
+
+    @jax.jit
+    def graph_search(q, entry, nb0, upper, x, x_sq, valid):
+        b = q.shape[0]
+        L = upper.shape[0]
+        cur = jnp.full((b,), entry, jnp.int32)
+        for layer in range(L, 0, -1):
+            cur = beam_ops.greedy_descend(
+                q, cur, upper[layer - 1], x, x_sq, metric=metric,
+            )
+        return beam_ops.beam_search(
+            q, cur, nb0, x, x_sq, valid,
+            metric=metric, ef=ef, expand=min(expand, ef),
+            max_hops=max_hops,
+        )
+
+    return graph_search

@@ -337,3 +337,48 @@ def test_tls_channel_factory(tmp_path):
     )
     ch2 = make_channel("127.0.0.1", 1, cert_path=str(cert))
     assert isinstance(ch2, grpc.Channel)
+
+
+def test_external_provider_builders_register_and_apply():
+    """The reference register.py's provider-builder surface: external
+    infra configs register + apply; secrets are redacted in logs; the
+    provider factory rejects types whose infra isn't present."""
+    from embeddinghub_tpu.featurestore.metadata import MetadataStore
+    from embeddinghub_tpu.featurestore.providers import base
+    from embeddinghub_tpu.featurestore.registry import Client, Registrar
+
+    reg = Registrar()
+    reg.register_postgres(host="db.example.com", password="sekret")
+    reg.register_snowflake(account="acct", organization="org")
+    reg.register_redshift(host="rs.example.com")
+    reg.register_bigquery(project_id="p", dataset_id="d")
+    reg.register_clickhouse(host="ch")
+    reg.register_mysql(host="my")
+    reg.register_dynamodb(region="eu-west-1")
+    reg.register_cassandra(host="cas", keyspace="ks")
+    reg.register_firestore(project_id="p", collection="c")
+    reg.register_mongodb(host="mg", database="db")
+    reg.register_pinecone(project_id="p", environment="e", api_key="k")
+    reg.register_weaviate(url="http://w")
+    reg.register_s3(bucket="b")
+    reg.register_gcs(bucket="b")
+    reg.register_azure_blob(account_name="a", container="c")
+    reg.register_spark(executor_type="DATABRICKS")
+    reg.register_kubernetes(image="img")
+    reg.register_sqlite_online()
+
+    from embeddinghub_tpu.featurestore.resources import ResourceID, ResourceType
+
+    client = Client(registrar=reg)
+    client.apply(wait=False)
+    store = client.metadata
+    provs = list(store.list_type(ResourceType.PROVIDER))
+    assert len(provs) == 18
+    pg = store.get(ResourceID(ResourceType.PROVIDER, "postgres", ""))
+    assert pg.config["host"] == "db.example.com"
+    assert pg.config["password"] == "sekret"  # stored, not logged
+
+    # orchestration against absent infra fails with a clear error
+    with pytest.raises(Exception) as ei:
+        base.get_provider("POSTGRES_OFFLINE", pg.config)
+    assert "POSTGRES_OFFLINE" in str(ei.value)

@@ -156,3 +156,54 @@ def test_bulk_refine_recall_bar(rng):
     _, got = idx.search(q, 10, ef=100)
     recall = np.mean([len(set(got[i]) & set(oracle[i])) / 10 for i in range(128)])
     assert recall >= 0.95, recall
+
+
+def test_fused_wave_then_host_surgery(rng):
+    """The fused device wave leaves host links stale; updates, removes
+    and snapshots must sync the mirror down and stay consistent."""
+    n, d, k = 1400, 16, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HNSWIndex(dims=d, m=12, ef_construction=64)
+    idx.add(np.arange(1000), vecs[:1000])      # crosses the tiny bar
+    idx.add(np.arange(1000, n), vecs[1000:])   # pure fused waves
+    assert idx._host_stale                     # device is authoritative
+
+    # snapshot syncs down and round-trips
+    state = idx.state_arrays()
+    assert not idx._host_stale
+    idx2 = HNSWIndex.from_state(d, "l2", state)
+    q = vecs[1200:1201]
+    _, a = idx.search(q, k, ef=80)
+    _, b = idx2.search(q, k, ef=80)
+    assert a[0, 0] == b[0, 0] == 1200
+
+    # update a fused-inserted row: it must move
+    newv = rng.standard_normal(d).astype(np.float32) * 10
+    idx.add(np.asarray([1200]), newv[None])
+    _, got = idx.search(newv[None], 1, ef=80)
+    assert got[0, 0] == 1200
+
+    # remove a row: it must disappear from results
+    idx.remove(np.asarray([1201]))
+    _, got = idx.search(vecs[1201:1202], 10, ef=80)
+    assert 1201 not in got[0]
+    assert idx.size == n - 1
+
+
+def test_fused_stream_recall_on_bulk_graph(rng):
+    """Streaming fused waves into a bulk-built graph keeps recall."""
+    n, extra, d, k = 2048, 512, 16, 10
+    vecs = rng.standard_normal((n + extra, d)).astype(np.float32)
+    idx = HNSWIndex(dims=d, m=12, ef_construction=64)
+    idx.add(np.arange(n), vecs[:n])            # bulk NN-descent path
+    for s in range(n, n + extra, 128):
+        idx.add(np.arange(s, s + 128), vecs[s : s + 128])
+    q = rng.standard_normal((32, d)).astype(np.float32)
+    oracle = oracle_topk(q, vecs, k)
+    _, got = idx.search(q, k, ef=100)
+    recall = np.mean([len(set(got[i]) & set(oracle[i])) / k for i in range(32)])
+    assert recall >= 0.9, f"recall {recall}"
+    # streamed rows must be findable by their own vector
+    probe = np.arange(n, n + extra, 37)
+    _, got = idx.search(vecs[probe], 1, ef=80)
+    assert (got[:, 0] == probe).mean() >= 0.95

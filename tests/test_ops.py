@@ -127,8 +127,8 @@ def test_chunked_topk_k_larger_than_live(rng):
 
 @pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
 @pytest.mark.parametrize("exact_matmul", [True, False])
-def test_grouped_topk_matches_bruteforce(rng, metric, exact_matmul):
-    from embeddinghub_tpu.ops import grouped_topk_search
+def test_certified_topk_matches_bruteforce(rng, metric, exact_matmul):
+    from embeddinghub_tpu.ops import certified_topk_search
 
     n, d, b, k = 4096, 24, 9, 7
     x = rng.standard_normal((n, d)).astype(np.float32)
@@ -137,16 +137,16 @@ def test_grouped_topk_matches_bruteforce(rng, metric, exact_matmul):
     valid[::5] = False
     xp = np.asarray(preprocess_vectors(jnp.asarray(x), metric))
     qpad = np.concatenate([q, np.zeros((7, d), np.float32)])
-    dist, idx = grouped_topk_search(
+    dist, idx, ok = certified_topk_search(
         jnp.asarray(qpad),
         jnp.asarray(xp),
         jnp.asarray(valid),
         sqnorms(jnp.asarray(xp)),
         metric=metric,
         k=k,
-        chunk=2048,  # 2 chunks: exercise the scan + merge path
         exact_matmul=exact_matmul,
     )
+    assert np.asarray(ok).all()  # CPU approx_max_k is exact -> certified
     dist, idx = np.asarray(dist)[:b], np.asarray(idx)[:b]
 
     if metric == "l2":
@@ -168,15 +168,15 @@ def test_grouped_topk_matches_bruteforce(rng, metric, exact_matmul):
     assert not np.isin(idx, np.flatnonzero(~valid)).any()
 
 
-def test_grouped_topk_k_larger_than_live(rng):
-    from embeddinghub_tpu.ops import grouped_topk_search
+def test_certified_topk_k_larger_than_live(rng):
+    from embeddinghub_tpu.ops import certified_topk_search
 
     n, d = 4096, 8
     x = rng.standard_normal((n, d)).astype(np.float32)
     valid = np.zeros(n, bool)
     valid[:3] = True
     q = np.concatenate([x[:1], np.zeros((7, d), np.float32)])
-    dist, idx = grouped_topk_search(
+    dist, idx, _ = certified_topk_search(
         jnp.asarray(q),
         jnp.asarray(x),
         jnp.asarray(valid),

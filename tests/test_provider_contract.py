@@ -25,6 +25,7 @@ import embeddinghub_tpu.featurestore.providers.memory_online  # noqa: F401
 import embeddinghub_tpu.featurestore.providers.engine_vector  # noqa: F401
 import embeddinghub_tpu.featurestore.providers.redis_online  # noqa: F401
 import embeddinghub_tpu.featurestore.providers.sqlite_offline  # noqa: F401
+import embeddinghub_tpu.featurestore.providers.sqlite_online  # noqa: F401
 
 
 @pytest.fixture(scope="module")
@@ -37,10 +38,11 @@ def _online_providers(fake_redis):
     return [
         ("MEMORY_ONLINE", {}),
         ("REDIS_ONLINE", {"host": fake_redis.host, "port": fake_redis.port}),
+        ("SQLITE_ONLINE", {}),
     ]
 
 
-@pytest.fixture(params=["MEMORY_ONLINE", "REDIS_ONLINE"])
+@pytest.fixture(params=["MEMORY_ONLINE", "REDIS_ONLINE", "SQLITE_ONLINE"])
 def online_store(request, fake_redis):
     cfgs = dict(_online_providers(fake_redis))
     p = get_provider(request.param, cfgs[request.param])
