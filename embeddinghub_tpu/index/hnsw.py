@@ -15,12 +15,14 @@ with reciprocal links — but restructured for TPU:
     threshold the ENTIRE wave — candidate search, forward heuristic
     selection, reciprocal link commit with overflow pruning, vector
     scatter — executes as one jitted device step on donated state
-    (``ops/wave_insert.make_wave_commit``).  The device link tables are
-    then authoritative; the host mirror syncs down lazily
-    (``_sync_host``) for snapshots / updates / removes.  Wave inserts
-    don't see their wave siblings at search time; waves are capped to a
-    fraction of the current graph so the quality effect stays
-    negligible.
+    (``ops/wave_insert.make_wave_commit``).  Candidates come from a
+    masked flat MXU scan, not a graph walk: exact-quality pools at
+    ~1000x the beam's insert throughput (the graph stays hnswlib-
+    faithful for serving).  The device link tables are then
+    authoritative; the host mirror syncs down lazily (``_sync_host``)
+    for snapshots / updates / removes.  Wave inserts don't see their
+    wave siblings at search time; waves are capped to a fraction of the
+    current graph so the quality effect stays negligible.
 
 Use this engine when the per-chip row count is large enough that a full
 scan loses to a graph walk, or for hnswlib-parity recall sweeps; for
@@ -44,13 +46,15 @@ _BUCKETS = (1, 8, 64, 256, 1024)
 import functools
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _delta_apply(x, x_sq, valid, nb0, vrows, vvecs, vsq, vvalid, nrows, nvals):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _delta_apply(x, x_sq, valid, levels, nb0,
+                 vrows, vvecs, vsq, vvalid, vlev, nrows, nvals):
     """Fused dirty-row scatter into the resident device graph state."""
     return (
         x.at[vrows].set(vvecs),
         x_sq.at[vrows].set(vsq),
         valid.at[vrows].set(vvalid),
+        levels.at[vrows].set(vlev),
         nb0.at[nrows].set(nvals),
     )
 
@@ -552,34 +556,31 @@ class HNSWIndex(Index):
         rows_p[:w] = rows
         vecs_p = np.broadcast_to(pvecs[0], (bw, self.dims)).copy()
         vecs_p[:w] = pvecs
-        lt_p = np.zeros((bw,), np.int32)
+        lev_p = np.full((bw,), int(levels[0]), np.int32)
+        lev_p[:w] = levels
+        lt0 = int(min(levels[0], max(old_max, 0)))
+        lt_p = np.full((bw,), lt0, np.int32)
         lt_p[:w] = np.minimum(levels, max(old_max, 0))
         wvalid = np.zeros((bw,), bool)
         wvalid[:w] = True
 
         if self._wave_fn is None:
-            # Narrow expansion: inside ONE jit, extra hops are cheap
-            # device iterations (no tunnel RTT per hop like the r2
-            # host-driven path), while wide expansion multiplies the
-            # dominant per-hop neighbor gather ([W, E*M, D] bytes).
             self._wave_fn = wave_insert.make_wave_commit(
                 metric=self.metric,
                 m=self.m,
                 m0=self.m0,
                 ef_construction=self.ef_construction,
-                expand=8,
-                max_hops=64,
             )
         (
             state["x"], state["x_sq"], state["valid"],
-            state["nb0"], new_ustack,
+            state["levels"], state["nb0"], new_ustack,
         ) = self._wave_fn(
-            state["x"], state["x_sq"], state["valid"], state["nb0"],
-            ustack,
-            jnp.int32(self._entry),
+            state["x"], state["x_sq"], state["valid"], state["levels"],
+            state["nb0"], ustack,
             jnp.asarray(rows_p, jnp.int32),
             jnp.asarray(vecs_p),
             jnp.asarray(np.einsum("wd,wd->w", vecs_p, vecs_p)),
+            jnp.asarray(lev_p),
             jnp.asarray(lt_p),
             jnp.asarray(wvalid),
         )
@@ -878,19 +879,22 @@ class HNSWIndex(Index):
                 else np.zeros(1, np.int64)
             )
             vecs = self._prep(self._hx[vrows])
-            state["x"], state["x_sq"], state["valid"], state["nb0"] = (
-                _delta_apply(
-                    state["x"],
-                    state["x_sq"],
-                    state["valid"],
-                    state["nb0"],
-                    jnp.asarray(vrows),
-                    jnp.asarray(vecs),
-                    jnp.asarray(np.einsum("rd,rd->r", vecs, vecs)),
-                    jnp.asarray(self._hvalid[vrows]),
-                    jnp.asarray(nrows),
-                    jnp.asarray(self._nb0[nrows]),
-                )
+            (
+                state["x"], state["x_sq"], state["valid"],
+                state["levels"], state["nb0"],
+            ) = _delta_apply(
+                state["x"],
+                state["x_sq"],
+                state["valid"],
+                state["levels"],
+                state["nb0"],
+                jnp.asarray(vrows),
+                jnp.asarray(vecs),
+                jnp.asarray(np.einsum("rd,rd->r", vecs, vecs)),
+                jnp.asarray(self._hvalid[vrows]),
+                jnp.asarray(self._levels[vrows]),
+                jnp.asarray(nrows),
+                jnp.asarray(self._nb0[nrows]),
             )
         for layer, dirty in self._dirty_upper.items():
             if not dirty:
@@ -926,6 +930,7 @@ class HNSWIndex(Index):
             "x": jnp.asarray(x),
             "x_sq": jnp.asarray(np.einsum("nd,nd->n", x, x)),
             "valid": jnp.asarray(self._hvalid),
+            "levels": jnp.asarray(self._levels),
             "nb0": jnp.asarray(self._nb0),
             "ustack": jnp.asarray(ustack),
         }
