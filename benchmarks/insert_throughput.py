@@ -14,7 +14,7 @@ from __future__ import annotations
 import os as _os
 
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import argparse
 import json
@@ -70,20 +70,29 @@ def main():
         build_s=round(time.perf_counter() - t0, 1))
 
     idx.search(test[:8], 10, ef=50)  # compile the check's search shape
+    wave_s = []
     t0 = time.perf_counter()
     for s in range(0, len(stream), args.batch):
         rows = np.arange(args.base + s,
                          args.base + min(s + args.batch, len(stream)))
+        tw = time.perf_counter()
         idx.add(rows, stream[s : s + args.batch])
-    # force completion of the pipelined device waves (forced readback —
-    # block_until_ready does not truly sync on the tunnel)
-    if idx._device_state is not None:
-        np.asarray(idx._device_state["nb0"][:1])
+        # force completion of the pipelined device wave (forced readback
+        # — block_until_ready does not truly sync on the tunnel)
+        if idx._device_state is not None:
+            np.asarray(idx._device_state["nb0"][:1])
+        wave_s.append(time.perf_counter() - tw)
     dt = time.perf_counter() - t0
     _, ids = idx.search(stream[:64], 1, ef=50)
     hit = float(np.mean(ids[:, 0] == np.arange(args.base, args.base + 64)))
+    # wave 0 pays jit compile; steady-state excludes it when possible
+    steady = wave_s[1:] or wave_s
+    n_steady = (len(stream) - min(args.batch, len(stream))
+                if len(wave_s) > 1 else len(stream))
     rep(phase="tpu-stream", n=len(stream), batch=args.batch,
         inserts_per_s=round(len(stream) / dt, 1),
+        steady_inserts_per_s=round(n_steady / sum(steady), 1),
+        wave_ms=[round(x * 1e3, 1) for x in wave_s],
         self_hit_at_1=round(hit, 3))
 
     if not args.skip_cpu:

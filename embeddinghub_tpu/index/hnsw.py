@@ -93,6 +93,14 @@ class HNSWIndex(Index):
         self.refine_expand = 32
         self.refine_hops = 32
         self.nnd_iters = 4
+        # Exact-scan construction: below this row count the layer-0
+        # candidate pools come from exact chunked MXU scans (n^2 * d
+        # bf16 FLOPs — seconds up to ~2M rows/chip) instead of
+        # NN-descent + graph-walk refinement; the pool hnswlib's
+        # ef_construction beam *approximates* is computed exactly, so
+        # the iterative refinement rounds collapse away.
+        self.exact_build_max = 2_000_000
+        self.exact_refine_rounds = 0
         self._mult = 1.0 / math.log(self.m)
         self._rng = np.random.default_rng(seed)
 
@@ -224,34 +232,51 @@ class HNSWIndex(Index):
         xd = jnp.asarray(x)
         xsq = jnp.einsum("nd,nd->n", xd, xd)
 
-        m0 = min(self.m0, 32)
-        nb = nnd.nn_descent(
-            xd, xsq, m=m0, iters=self.nnd_iters, block=block,
-            metric=self.metric,
-        )
-        # symmetrize: forward ++ reverse-sample candidates, then prune
-        # (wider candidate enrichment measured WORSE here: diversity
-        # crowds the nearest neighbors out of the M0 slots)
-        ids = jnp.arange(padded, dtype=jnp.int32)
-        rev = jnp.full((padded, m0), -1, jnp.int32)
-        for j in range(m0):
-            rev = rev.at[nb[:, j], j].set(ids)
-        cand = jnp.concatenate([nb, rev], axis=1)
-        pruned = nnd.heuristic_prune(
-            xd, xsq, cand, m_keep=self.m0, metric=self.metric, cand_k=2 * m0
-        )
-        nb_local = np.asarray(pruned).astype(np.int32)
-        nb_local[n:] = -1
-        nb_local = np.where(nb_local >= n, -1, nb_local)  # drop pad targets
+        if n <= self.exact_build_max:
+            # Exact-scan construction: each node's candidate pool is its
+            # exact top-efC neighbor set from a chunked MXU scan — the
+            # pool hnswlib's ef_construction beam approximates, computed
+            # exactly, with forward selection and symmetrize+overflow-
+            # prune identical to the incremental path.  No NN-descent,
+            # no graph-walk refinement (both were gather/iteration bound).
+            fwd = self._exact_build_fwd(xd, xsq, n, padded, block)
+            nb_local = self._symmetrize_local(fwd, xd, xsq, n, padded)
+            if self.exact_refine_rounds:
+                save = self.refine_rounds
+                self.refine_rounds = self.exact_refine_rounds
+                try:
+                    nb_local = self._bulk_refine(xd, xsq, nb_local, n, padded)
+                finally:
+                    self.refine_rounds = save
+        else:
+            m0 = min(self.m0, 32)
+            nb = nnd.nn_descent(
+                xd, xsq, m=m0, iters=self.nnd_iters, block=block,
+                metric=self.metric,
+            )
+            # symmetrize: forward ++ reverse-sample candidates, then prune
+            # (wider candidate enrichment measured WORSE here: diversity
+            # crowds the nearest neighbors out of the M0 slots)
+            ids = jnp.arange(padded, dtype=jnp.int32)
+            rev = jnp.full((padded, m0), -1, jnp.int32)
+            for j in range(m0):
+                rev = rev.at[nb[:, j], j].set(ids)
+            cand = jnp.concatenate([nb, rev], axis=1)
+            pruned = nnd.heuristic_prune(
+                xd, xsq, cand, m_keep=self.m0, metric=self.metric,
+                cand_k=2 * m0,
+            )
+            nb_local = np.asarray(pruned).astype(np.int32)
+            nb_local[n:] = -1
+            nb_local = np.where(nb_local >= n, -1, nb_local)  # drop pads
 
-        # Refinement: re-search every node against the current graph with
-        # ef=ef_construction and re-select links — the batched equivalent
-        # of hnswlib re-inserting every point into the *finished* graph
-        # (a strictly better candidate pool than sequential insertion
-        # sees).  This supplies the medium-range "search path" edges the
-        # pure kNN rows lack, which is what closed the recall gap
-        # (0.93 -> 0.99 on SIFT-like; see benchmarks/graph_quality.py).
-        nb_local = self._bulk_refine(xd, xsq, nb_local, n, padded)
+            # Refinement: re-search every node against the current graph
+            # with ef=ef_construction and re-select links — the batched
+            # equivalent of hnswlib re-inserting every point into the
+            # *finished* graph.  Supplies the medium-range "search path"
+            # edges the narrow NN-descent pools lack (0.93 -> 0.99 on
+            # SIFT-like; see benchmarks/graph_quality.py).
+            nb_local = self._bulk_refine(xd, xsq, nb_local, n, padded)
 
         # Connectivity insurance: random long-range edges into FREE
         # slots only (never overwriting selected links).  NN-descent on
@@ -318,6 +343,63 @@ class HNSWIndex(Index):
         top_nodes = np.flatnonzero(levels == top)
         self._entry = int(local_to_row[top_nodes[0]])
         self._max_level = top
+
+    # ----------------------------------------------------- exact-scan build
+
+    def _exact_build_fwd(
+        self, xd, xsqd, n: int, padded: int, block: int
+    ) -> np.ndarray:
+        """Forward link lists from exact top-efC pools.  ONE jitted
+        ``lax.scan`` over query blocks — per block an exact chunked MXU
+        scan (n^2 * d bf16 FLOPs total) + the standard heuristic
+        selection at M0 width — so the whole forward build is a single
+        device dispatch + one readback (the per-block eager version paid
+        ~6 tunnel RTTs x n/4096 blocks).  Returns [padded, m0] local ids
+        (-1 beyond n)."""
+        from embeddinghub_tpu.ops import nn_descent as nnd
+        from embeddinghub_tpu.ops import topk as topk_ops
+
+        chunk = min(1 << 16, padded)
+        while padded % chunk:
+            chunk //= 2
+        pool_k = min(
+            next_pow2(self.ef_construction, floor=64) + 1, chunk, padded
+        )
+        metric = self.metric if self.metric != "cosine" else "ip"
+        n_blocks = -(-n // block)
+        m0, prune_metric = self.m0, self.metric
+
+        @functools.partial(jax.jit, static_argnums=())
+        def exact_fwd(xd, xsqd, validd, starts):
+            def step(_, s):
+                qv = jax.lax.dynamic_slice_in_dim(xd, s, block)
+                qsq = jax.lax.dynamic_slice_in_dim(xsqd, s, block)
+                _, ids_b = topk_ops.chunked_topk_search(
+                    qv, xd, validd, xsqd,
+                    metric=metric, k=pool_k, chunk=chunk,
+                    compute_dtype=jnp.bfloat16,
+                )
+                ids_b = ids_b.astype(jnp.int32)
+                self_col = s + jnp.arange(block, dtype=jnp.int32)[:, None]
+                ids_b = jnp.where(ids_b == self_col, -1, ids_b)
+                sel = nnd.heuristic_prune(
+                    xd, xsqd, ids_b,
+                    m_keep=m0, metric=prune_metric, cand_k=pool_k,
+                    q=qv, q_sq=qsq,
+                )
+                return None, sel[:, :m0]
+
+            _, sels = jax.lax.scan(step, None, starts)
+            return sels
+
+        validd = jnp.zeros((padded,), bool).at[:n].set(True)
+        starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
+        sels = np.asarray(exact_fwd(xd, xsqd, validd, starts))
+        out = np.full((padded, self.m0), -1, np.int32)
+        out[: n_blocks * block] = sels.reshape(n_blocks * block, self.m0)
+        out[n:] = -1
+        out[:n] = np.where(out[:n] >= n, -1, out[:n])
+        return out
 
     # ---------------------------------------------------------- bulk refine
 

@@ -145,12 +145,6 @@ def _index_registry() -> dict:
     except ImportError:
         pass
     try:
-        from embeddinghub_tpu.index.ivf import IVFIndex
-
-        registry["IVFIndex"] = IVFIndex
-    except ImportError:
-        pass
-    try:
         from embeddinghub_tpu.parallel.sharded_flat import ShardedFlatIndex
 
         registry["ShardedFlatIndex"] = ShardedFlatIndex

@@ -16,7 +16,7 @@ import os
 _TPU_MODE = os.environ.get("EHTPU_TPU_TESTS") == "1"
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 if not _TPU_MODE:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
