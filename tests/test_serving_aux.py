@@ -265,3 +265,24 @@ def test_dashboard_serves_static_ui():
         assert "/data/" in html  # the JS drives the JSON API
     finally:
         dash.stop()
+
+
+def test_metrics_load_generator():
+    """Reference parity: test-metrics/main.go traffic shapes."""
+    import time as _t
+
+    from embeddinghub_tpu.featurestore.load_generator import (
+        MetricsLoadGenerator,
+    )
+    from embeddinghub_tpu.featurestore.metrics import MetricsHandler
+
+    gen = MetricsLoadGenerator(
+        metrics=MetricsHandler(namespace="test"),
+        oscillation_period_s=1.0,
+    )
+    gen.start()
+    _t.sleep(0.5)
+    gen.stop()
+    text = gen.metrics.render()
+    assert "Non-free Sulfur Dioxide" in text
+    assert "test" in text
