@@ -81,6 +81,10 @@ def main():
     ap.add_argument("--stream", type=int, default=100_000)
     ap.add_argument("--qbatches", type=int, default=8)
     ap.add_argument("--no-snapshot", action="store_true")
+    ap.add_argument("--storage", default="int8",
+                    choices=["int8", "int8x2", "bfloat16"],
+                    help="device arena dtype (int8x2: hi+lo residual, "
+                         "2 bytes/elem, near-exact rerank)")
     args = ap.parse_args()
 
     import jax
@@ -89,12 +93,13 @@ def main():
     rng = np.random.default_rng(0)
     centers = (3.0 * rng.standard_normal((CENTERS, d))).astype(np.float32)
 
+    bpe = {"int8": 1, "int8x2": 2, "bfloat16": 2}[args.storage]
     idx = FlatIndex(
-        d, metric="cosine", capacity=n + args.stream, storage_dtype="int8"
+        d, metric="cosine", capacity=n + args.stream, storage_dtype=args.storage
     )
     rep(stage="init", backend=jax.default_backend(), n=n, dims=d,
         capacity=idx.capacity,
-        device_hbm_gb=round(idx.capacity * (d + 9) / 1e9, 2))
+        device_hbm_gb=round(idx.capacity * (d * bpe + 9) / 1e9, 2))
 
     # ---- bulk ingest (host arena) ----
     t0 = time.perf_counter()
@@ -112,8 +117,8 @@ def main():
     jax.block_until_ready(idx._dx)
     t_up = time.perf_counter() - t0
     rep(stage="quantize_upload", seconds=round(t_up, 1),
-        wire_mb=round(idx.capacity * (d + 9) / 1e6),
-        mb_per_s=round(idx.capacity * (d + 9) / 1e6 / t_up, 1))
+        wire_mb=round(idx.capacity * (d * bpe + 9) / 1e6),
+        mb_per_s=round(idx.capacity * (d * bpe + 9) / 1e6 / t_up, 1))
 
     # ---- query throughput (wire-inclusive) ----
     qv = gen_chunk(rng, centers, 0, args.batch, d)
@@ -200,7 +205,7 @@ def main():
         idx2 = FlatIndex.from_state(d, "cosine",
                                     {k2: np.asarray(v)
                                      for k2, v in arrays.items()},
-                                    storage_dtype="int8")
+                                    storage_dtype=args.storage)
         idx2._sync()
         jax.block_until_ready(idx2._dx)
         t_rest = time.perf_counter() - t0

@@ -67,9 +67,13 @@ class FlatIndex(Index):
         device: jax.Device | None = None,
     ):
         """``storage_dtype``: "float32" (default), "bfloat16" (2x HBM
-        capacity, ~62M 128-d rows/16GB chip) or "int8" (4x, ~125M rows
-        — the Deep-100M lever; per-row symmetric quantization with f32
-        rerank of candidates). The host arena always stays f32."""
+        capacity, ~62M 128-d rows/16GB chip), "int8" (4x, ~125M rows
+        — the Deep-100M lever; per-row symmetric quantization with
+        rerank of dequantized candidates) or "int8x2" (2x; int8 hi +
+        int8 residual lo ≈ int15 resolution — phase-1 scans hi only so
+        the scan bandwidth matches "int8", while the hi+lo rerank
+        resolves dense near-duplicate clusters whose score gaps sit
+        below int8 noise). The host arena always stays f32."""
         if metric not in dist_ops.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
         self.dims = int(dims)
@@ -85,6 +89,7 @@ class FlatIndex(Index):
         self._size = 0
         # Device mirrors, built lazily.
         self._dx = None
+        self._dx_lo = None
         self._dx_sq = None
         self._dvalid = None
         self._dirty_rows: set[int] = set()
@@ -140,7 +145,7 @@ class FlatIndex(Index):
         # was set); metric preprocessing (cosine -> unit rows) happens here,
         # on the way to the device.
         if self._needs_full_sync or self._dx is None:
-            if self.storage_dtype in ("int8", "bfloat16"):
+            if self.storage_dtype in ("int8", "int8x2", "bfloat16"):
                 # Quantize on the HOST and ship the narrow dtype over the
                 # wire: the dev tunnel (~35 MB/s) is the bottleneck, so a
                 # full sync of an int8/bf16 arena must not upload f32 and
@@ -149,10 +154,12 @@ class FlatIndex(Index):
                 import ml_dtypes
 
                 n = self._cap
-                int8 = self.storage_dtype == "int8"
+                int8 = self.storage_dtype in ("int8", "int8x2")
+                residual = self.storage_dtype == "int8x2"
                 xq = np.empty(
                     (n, self.dims), np.int8 if int8 else ml_dtypes.bfloat16
                 )
+                xlo = np.empty((n, self.dims), np.int8) if residual else None
                 xsq = np.empty((n,), np.float32)
                 scales = np.empty((n,), np.float32) if int8 else None
                 step = max(1, (1 << 28) // max(self.dims * 4, 1))
@@ -170,15 +177,25 @@ class FlatIndex(Index):
                             np.abs(blk).max(axis=1) / 127.0, 1e-30
                         ).astype(np.float32)
                         scales[s:e] = sc
-                        xq[s:e] = np.clip(
+                        hi = np.clip(
                             np.round(blk / sc[:, None]), -127, 127
                         ).astype(np.int8)
+                        xq[s:e] = hi
+                        if residual:
+                            # x ≈ sc·(hi + lo/254): |resid/sc| ≤ 0.5
+                            resid = blk / sc[:, None] - hi
+                            xlo[s:e] = np.clip(
+                                np.round(resid * 254.0), -127, 127
+                            ).astype(np.int8)
                     else:
                         xq[s:e] = blk.astype(ml_dtypes.bfloat16)
                 self._dx = jax.device_put(xq, self._device)
                 self._dx_sq = jax.device_put(xsq, self._device)
                 if int8:
                     self._dscales = jax.device_put(scales, self._device)
+                self._dx_lo = (
+                    jax.device_put(xlo, self._device) if residual else None
+                )
             else:
                 x = jax.device_put(jnp.asarray(self._hx), self._device)
                 xp = dist_ops.preprocess_vectors(x, self.metric)
@@ -200,7 +217,7 @@ class FlatIndex(Index):
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             vecs = vecs / np.maximum(norms, 1e-30)
         valid_bits = self._hvalid[rows]
-        if self.storage_dtype == "int8":
+        if self.storage_dtype in ("int8", "int8x2"):
             # int8 scatter: re-quantize the touched rows host-side
             scales = np.maximum(
                 np.abs(vecs).max(axis=1) / 127.0, 1e-30
@@ -211,6 +228,14 @@ class FlatIndex(Index):
             self._dscales = self._dscales.at[jnp.asarray(rows)].set(
                 jnp.asarray(scales)
             )
+            if self.storage_dtype == "int8x2":
+                resid = vecs / scales[:, None] - qrows
+                lorows = np.clip(np.round(resid * 254.0), -127, 127).astype(
+                    np.int8
+                )
+                self._dx_lo = self._dx_lo.at[jnp.asarray(rows)].set(
+                    jnp.asarray(lorows)
+                )
             self._dx, self._dx_sq, self._dvalid = _scatter_rows(
                 self._dx,
                 self._dx_sq,
@@ -284,8 +309,17 @@ class FlatIndex(Index):
             queries = np.concatenate(
                 [queries, np.zeros((pb - b, self.dims), np.float32)]
             )
-        if self.storage_dtype == "int8":
-            # quantized shards always use the int8 scoring path
+        if self.storage_dtype in ("int8", "int8x2"):
+            # quantized shards always use the int8 scoring path; int8x2
+            # widens the candidate pool (its hi+lo rerank can actually
+            # exploit a deep pool — plain int8's dequantized rerank
+            # cannot resolve beyond int8 noise anyway)
+            # pool = k*oversample candidates; sim (RESULTS.md): the hi+lo
+            # rerank plateaus at ~256 pooled candidates even on
+            # pathological near-duplicate clusters (phase-1 int8 ordering
+            # on normalized rows is good; the rerank just needs the pool
+            # to contain the true top-k)
+            over = 16 if self.storage_dtype == "int8x2" else 8
             if query_dtype is not None:
                 import ml_dtypes
 
@@ -302,9 +336,10 @@ class FlatIndex(Index):
                     self._dscales,
                     self._dvalid,
                     self._dx_sq,
+                    self._dx_lo,
                     metric=self.metric,
                     k=kk,
-                    oversample=8,
+                    oversample=over,
                     # bound the [B, chunk] per-step intermediate to ~1 GB
                     chunk=min(self._cap,
                               max(1 << 16, (1 << 28) // max(pb, 1))),
@@ -316,9 +351,10 @@ class FlatIndex(Index):
                     self._dscales,
                     self._dvalid,
                     self._dx_sq,
+                    self._dx_lo,
                     metric=self.metric,
                     k=kk,
-                    oversample=min(8, max(1, self._cap // max(kk, 1))),
+                    oversample=min(over, max(1, self._cap // max(kk, 1))),
                 )
             if not with_distances:
                 i = np.asarray(i[:b, :k]).astype(np.int64)

@@ -236,6 +236,7 @@ def int8_oversample_search(
     scales: jax.Array,   # [cap] f32 row scales (x_row ≈ xq_row * scale)
     valid: jax.Array,
     x_sq: jax.Array,     # [cap] f32 true squared norms
+    x_lo: jax.Array | None = None,  # [cap, D] int8 residuals (int8x2)
     *,
     metric: str = "l2",
     k: int = 10,
@@ -245,7 +246,13 @@ def int8_oversample_search(
     footprint than f32 — the Deep-100M capacity lever), approx_max_k
     candidate selection, then a rerank against the dequantized
     candidate rows.  Recall tracks the bf16 path closely because
-    ranking only needs relative order and the rerank fixes the top."""
+    ranking only needs relative order and the rerank fixes the top.
+
+    With ``x_lo`` (residual int8: x ≈ scale·(hi + lo/254), ~int15
+    resolution at 2 bytes/elem) the rerank dequantizes hi+lo, which
+    resolves rankings int8 alone cannot — e.g. dense near-duplicate
+    clusters where within-cluster score gaps sit below int8 noise.
+    Phase-1 scans hi only, keeping the 1-byte/elem bandwidth win."""
     q = q.astype(jnp.float32)
     if metric == "cosine":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
@@ -270,7 +277,10 @@ def int8_oversample_search(
     cv, cand = jax.lax.approx_max_k(score, kk)
 
     # rerank on dequantized candidate rows (f32 einsum)
-    cx = xq[cand].astype(jnp.float32) * scales[cand][:, :, None]
+    cx = xq[cand].astype(jnp.float32)
+    if x_lo is not None:
+        cx = cx + x_lo[cand].astype(jnp.float32) * (1.0 / 254.0)
+    cx = cx * scales[cand][:, :, None]
     edots = jnp.einsum("bkd,bd->bk", cx, q, preferred_element_type=jnp.float32)
     if metric == "l2":
         escore = 2.0 * edots - x_sq[cand]
@@ -365,6 +375,7 @@ def quantized_chunked_search(
     scales: jax.Array | None,  # [cap] f32 row scales (int8 only)
     valid: jax.Array,
     x_sq: jax.Array,           # [cap] f32 true squared norms
+    x_lo: jax.Array | None = None,  # [cap, D] int8 residuals (int8x2)
     *,
     metric: str = "l2",
     k: int = 10,
@@ -416,8 +427,15 @@ def quantized_chunked_search(
         else jnp.zeros((n_chunks, 1), jnp.float32)  # unused placeholder
     )
 
-    def step(carry, inp):
-        best_v, best_i = carry
+    # Per-chunk candidate count: kc = kk gives exact containment (any
+    # global top-kk row is in its own chunk's top-kk).  At very deep
+    # chunk counts the stacked pool is capped at ~128k/row; kc shrinks
+    # and containment becomes probabilistic for rows whose true top-kk
+    # concentrates >kc into one chunk (graceful: the rerank still sees
+    # each chunk's best kc).
+    kc = min(kk, max(k, (1 << 17) // n_chunks))
+
+    def step(_, inp):
         xc, sqc, vc, scc, base = inp
         dots = jax.lax.dot_general(
             qq, xc,
@@ -431,26 +449,33 @@ def quantized_chunked_search(
         else:
             score = dots
         score = jnp.where(vc[None, :], score, -INF)
-        cv, ci = jax.lax.approx_max_k(score, kk)
-        ci = ci + base
-        vcat = jnp.concatenate([best_v, cv], axis=1)
-        icat = jnp.concatenate([best_i, ci], axis=1)
-        nv, pos = jax.lax.top_k(vcat, kk)
-        return (nv, jnp.take_along_axis(icat, pos, axis=1)), None
+        cv, ci = jax.lax.approx_max_k(score, kc)
+        return None, (cv, ci + base)
 
-    anchor = (xq_c[0, 0, 0] * 0).astype(jnp.int32)
-    init = (
-        jnp.full((b, kk), -INF, jnp.float32) + anchor.astype(jnp.float32),
-        jnp.full((b, kk), -1, jnp.int32) + anchor,
-    )
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (cv, cand), _ = jax.lax.scan(
-        step, init, (xq_c, sq_c, valid_c, sc_c, bases)
-    )
+    # Per-chunk top-kk stacked via scan OUTPUTS, then ONE final
+    # selection — the previous carry design paid a [B, 2*kk] top_k SORT
+    # per chunk, which dominated device time at deep pools (measured:
+    # 64 merge sorts ≈ 15x the matmul cost at kk=1024, 10M rows).
+    # Exactness: any global top-kk row is within its own chunk's
+    # top-kk, so the stacked union contains the global top-kk; the
+    # single approx_max_k over it loses at most the fused-selection
+    # epsilon, which the f32 rerank below absorbs.
+    _, (cvs, cis) = jax.lax.scan(step, None, (xq_c, sq_c, valid_c, sc_c, bases))
+    sv = jnp.moveaxis(cvs, 0, 1).reshape(b, n_chunks * kc)
+    si = jnp.moveaxis(cis, 0, 1).reshape(b, n_chunks * kc)
+    if n_chunks * kc > kk:
+        cv, pos = jax.lax.approx_max_k(sv, kk)
+        cand = jnp.take_along_axis(si, pos, axis=1)
+    else:
+        cv, cand = sv, si
 
-    # exact f32 rerank of the pooled candidates
+    # exact f32 rerank of the pooled candidates (hi + residual lo when
+    # the arena is int8x2 — ~int15 resolution; see int8_oversample_search)
     safe = jnp.maximum(cand, 0)
     cx = xq[safe].astype(jnp.float32)
+    if x_lo is not None:
+        cx = cx + x_lo[safe].astype(jnp.float32) * (1.0 / 254.0)
     if int8 and scales is not None:
         cx = cx * scales[safe][:, :, None]
     edots = jnp.einsum("bkd,bd->bk", cx, q, preferred_element_type=jnp.float32)

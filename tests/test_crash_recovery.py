@@ -35,6 +35,16 @@ def _spawn(port, data_dir):
     while time.time() < deadline:
         line = proc.stdout.readline().decode()
         if "listening" in line:
+            # Drain the pipe forever (XLA logs can fill a 64 KB pipe and
+            # block the server's writes, deadlocking the test).
+            import threading
+
+            threading.Thread(
+                target=lambda: [
+                    None for _ in iter(proc.stdout.readline, b"")
+                ],
+                daemon=True,
+            ).start()
             return proc
         if proc.poll() is not None:
             raise RuntimeError(proc.stdout.read().decode())

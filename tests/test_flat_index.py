@@ -128,3 +128,43 @@ def test_int8_storage(rng):
     idx.add([2000], (vecs[0] * 2 + 5)[None, :])
     _, i = idx.search((vecs[0] * 2 + 5)[None, :], 1)
     assert i[0, 0] == 2000
+
+
+def test_int8x2_residual_storage(rng):
+    """int8x2 (hi + residual lo) resolves dense near-duplicate clusters
+    whose within-cluster score gaps sit below plain-int8 noise."""
+    dims, per, n_c = 32, 200, 10
+    centers = 3.0 * rng.standard_normal((n_c, dims)).astype(np.float32)
+    x = np.repeat(centers, per, axis=0) + 0.2 * rng.standard_normal(
+        (n_c * per, dims)
+    ).astype(np.float32)
+    n = len(x)
+    q = centers[np.arange(16) % n_c] + 0.2 * rng.standard_normal(
+        (16, dims)
+    ).astype(np.float32)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    oracle = np.argsort(-(qn @ xn.T), axis=1)[:, :10]
+
+    def recall(storage):
+        idx = FlatIndex(dims=dims, metric="cosine", storage_dtype=storage,
+                        capacity=n)
+        idx.add(np.arange(n), x)
+        _, got = idx.search(q, 10)
+        return np.mean(
+            [len(set(got[i]) & set(oracle[i])) / 10 for i in range(len(q))]
+        )
+
+    r1 = recall("int8")
+    r2 = recall("int8x2")
+    assert r2 >= 0.95, (r1, r2)
+    assert r2 > r1, (r1, r2)  # the residual rerank is what fixes it
+    # scatter path keeps hi+lo coherent
+    idx = FlatIndex(dims=dims, metric="cosine", storage_dtype="int8x2",
+                    capacity=n + 8)
+    idx.add(np.arange(n), x)
+    idx.search(q[:1], 1)
+    nv = centers[0] + 0.2 * rng.standard_normal(dims).astype(np.float32)
+    idx.add([n], nv[None, :])
+    _, i = idx.search(nv[None, :], 1)
+    assert i[0, 0] == n

@@ -50,6 +50,15 @@ def server_port(tmp_path_factory):
     else:
         proc.kill()
         raise RuntimeError("server did not start in time")
+    # Drain the pipe forever: XLA/jax can log kilobytes per cache load;
+    # an undrained 64 KB pipe blocks the server's writes and deadlocks
+    # whichever test is in flight.
+    import threading
+
+    threading.Thread(
+        target=lambda: [None for _ in iter(proc.stdout.readline, b"")],
+        daemon=True,
+    ).start()
     yield port
     proc.kill()
     proc.wait()

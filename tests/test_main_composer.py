@@ -68,6 +68,14 @@ reg.register_training_set("m", label=("lbl", "default"),
     else:
         proc.kill()
         raise RuntimeError("composer start timeout")
+    # Drain the pipe forever (XLA logs can fill a 64 KB pipe and block
+    # the composer's writes, deadlocking the test).
+    import threading
+
+    threading.Thread(
+        target=lambda: [None for _ in iter(proc.stdout.readline, b"")],
+        daemon=True,
+    ).start()
     time.sleep(2)  # let coordinator finish task runs
     yield sp, fp, hp
     proc.kill()
