@@ -458,14 +458,31 @@ class FlatIndex(Index):
 
     # -------------------------------------------------------------- snapshot
 
+    _STORAGE_CODES = {"float32": 0, "bfloat16": 1, "int8": 2, "int8x2": 3}
+
     def state_arrays(self) -> dict[str, np.ndarray]:
-        """Arrays to persist (see store/persistence.py)."""
-        return {"x": self._hx, "valid": self._hvalid}
+        """Arrays to persist (see store/persistence.py).  The host arena
+        is always f32 (quantization is a device-mirror concern), but the
+        storage dtype must survive the roundtrip so a reloaded quantized
+        space stays quantized."""
+        return {
+            "x": self._hx,
+            "valid": self._hvalid,
+            "flat_meta": np.asarray(
+                [self._STORAGE_CODES.get(self.storage_dtype, 0)], np.int32
+            ),
+        }
 
     @classmethod
     def from_state(
         cls, dims: int, metric: str, arrays: dict[str, np.ndarray], **kw
     ) -> "FlatIndex":
+        if "flat_meta" in arrays and "storage_dtype" not in kw:
+            codes = {v: k for k, v in cls._STORAGE_CODES.items()}
+            kw = dict(
+                kw, storage_dtype=codes[int(arrays["flat_meta"][0])]
+            )
+        arrays = {k: v for k, v in arrays.items() if k != "flat_meta"}
         idx = cls(dims, metric=metric, capacity=arrays["x"].shape[0], **kw)
         idx._hx[:] = arrays["x"]
         idx._hvalid[:] = arrays["valid"]

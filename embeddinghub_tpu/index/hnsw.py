@@ -217,7 +217,13 @@ class HNSWIndex(Index):
 
         n = len(rows)
         block = 2048 if n < 32768 else 4096
-        padded = -(-n // block) * block
+        # Pad to a multiple of the scan chunk as well as the query block:
+        # the exact-build scan needs padded % chunk == 0, and a ragged
+        # size forces chunk down to `block` (245x245 tiny scan steps at
+        # 1M rows — approx_max_k overhead dominates).  64k is a multiple
+        # of both block sizes.
+        grain = block if n < (1 << 16) else (1 << 16)
+        padded = -(-n // grain) * grain
         x = np.empty((padded, self.dims), np.float32)
         x[:n] = pvecs
         if padded > n:

@@ -26,8 +26,11 @@ from embeddinghub_tpu.store.space import DEFAULT_VERSION, Space
 
 class EmbeddingHub:
     """``engine`` selects the default index implementation for new
-    spaces: ``"flat"`` (exact single-chip), ``"sharded"`` (row-sharded
-    over a device mesh with ICI top-k merge), or ``"hnsw"``
+    spaces: ``"flat"`` (exact single-chip), ``"flat-bf16"`` /
+    ``"flat-int8"`` / ``"flat-int8x2"`` (quantized arenas — 2x / 4x /
+    2x HBM capacity; int8x2 keeps an int8 residual plane so its rerank
+    resolves dense near-duplicate data, see index/flat.py), ``"sharded"``
+    (row-sharded over a device mesh with ICI top-k merge), or ``"hnsw"``
     (array-form graph, hnswlib-parity)."""
 
     def __init__(
@@ -53,9 +56,22 @@ class EmbeddingHub:
     def in_memory(cls, **kw) -> "EmbeddingHub":
         return cls(None, **kw)
 
+    _QUANTIZED = {
+        "flat-bf16": "bfloat16",
+        "flat-int8": "int8",
+        "flat-int8x2": "int8x2",
+    }
+
     def _make_index(self, dims: int, metric: str):
         if self.engine == "flat":
             return None  # Version defaults to FlatIndex
+        if self.engine in self._QUANTIZED:
+            from embeddinghub_tpu.index.flat import FlatIndex
+
+            return FlatIndex(
+                dims, metric=metric,
+                storage_dtype=self._QUANTIZED[self.engine],
+            )
         if self.engine == "sharded":
             from embeddinghub_tpu.parallel.sharded_flat import ShardedFlatIndex
 

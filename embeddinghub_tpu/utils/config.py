@@ -38,7 +38,8 @@ class Config:
     data_dir: str = "embedding_store.dat"
 
     # Engine knobs
-    engine: str = "flat"                # "flat" | "sharded" | "hnsw"
+    engine: str = "flat"                # "flat" | "flat-bf16" | "flat-int8" |
+                                        # "flat-int8x2" | "sharded" | "hnsw"
     default_metric: str = "l2"          # "l2" | "cosine" | "ip"
     compute_dtype: str = "float32"      # matmul input dtype on device
     query_batch_window_ms: float = 2.0  # server-side batching window

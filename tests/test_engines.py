@@ -7,7 +7,10 @@ import pytest
 from embeddinghub_tpu.store import EmbeddingHub
 
 
-@pytest.mark.parametrize("engine", ["flat", "sharded", "hnsw"])
+@pytest.mark.parametrize(
+    "engine",
+    ["flat", "flat-bf16", "flat-int8", "flat-int8x2", "sharded", "hnsw"],
+)
 def test_engine_end_to_end(engine, rng):
     hub = EmbeddingHub.in_memory(engine=engine)
     hub.create_space("s", dims=16)
@@ -32,3 +35,19 @@ def test_engine_snapshot_roundtrip(engine, rng, tmp_path):
     v2 = hub2.get_version("s")
     assert type(v2.index).__name__ == type(v.index).__name__
     assert v2.nearest(1, vector=vecs[31]) == ["k31"]
+
+
+def test_quantized_engine_snapshot_keeps_dtype(rng, tmp_path):
+    """A reloaded quantized space must stay quantized (flat_meta in the
+    snapshot carries storage_dtype through the roundtrip)."""
+    hub = EmbeddingHub.load_or_create(tmp_path / "st", engine="flat-int8x2")
+    hub.create_space("s", dims=8)
+    v = hub.get_version("s")
+    vecs = rng.standard_normal((64, 8)).astype(np.float32)
+    v.multiset([(f"k{i}", vecs[i]) for i in range(64)])
+    hub.save()
+
+    hub2 = EmbeddingHub.load_or_create(tmp_path / "st")
+    v2 = hub2.get_version("s")
+    assert v2.index.storage_dtype == "int8x2"
+    assert v2.nearest(1, vector=vecs[9]) == ["k9"]
