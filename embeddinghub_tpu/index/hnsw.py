@@ -324,19 +324,29 @@ class HNSWIndex(Index):
             svalid = np.zeros(cap, bool)
             svalid[: members.size] = True
             sxd = jnp.asarray(subx)
-            qb = next_pow2(members.size, floor=8)
-            qpad = np.zeros((qb, self.dims), np.float32)
-            qpad[: members.size] = sub
-            d_, i_ = topk_ops.chunked_topk_search(
-                jnp.asarray(qpad),
-                sxd,
-                jnp.asarray(svalid),
-                jnp.einsum("nd,nd->n", sxd, sxd),
-                metric=self.metric if self.metric != "cosine" else "ip",
-                k=min(next_pow2(self.m + 1, floor=8), cap),
-                chunk=cap,
-            )
-            i_ = np.asarray(i_)[: members.size]
+            ssq = jnp.einsum("nd,nd->n", sxd, sxd)
+            # query in blocks: a one-shot [members, members] score
+            # matrix OOMs at 1M rows (layer-1 has ~n/m members -> 16 GB
+            # f32 at 62k x 62k); chunk both axes instead
+            qblk = min(next_pow2(members.size, floor=8), 4096)
+            schunk = min(cap, 1 << 16)
+            while cap % schunk:
+                schunk //= 2
+            i_parts = []
+            for s in range(0, members.size, qblk):
+                qpad = np.zeros((qblk, self.dims), np.float32)
+                qpad[: min(qblk, members.size - s)] = sub[s : s + qblk]
+                _, i_b = topk_ops.chunked_topk_search(
+                    jnp.asarray(qpad),
+                    sxd,
+                    jnp.asarray(svalid),
+                    ssq,
+                    metric=self.metric if self.metric != "cosine" else "ip",
+                    k=min(next_pow2(self.m + 1, floor=8), schunk),
+                    chunk=schunk,
+                )
+                i_parts.append(np.asarray(i_b))
+            i_ = np.concatenate(i_parts)[: members.size]
             layer_map = self._upper.setdefault(layer, {})
             for j, g in enumerate(gids):
                 neigh = [
@@ -368,12 +378,23 @@ class HNSWIndex(Index):
         chunk = min(1 << 16, padded)
         while padded % chunk:
             chunk //= 2
+        # pow2 pool: self-exclusion masks one slot, so the pool keeps >=
+        # efC-1 real candidates (lane-aligned widths; a 257-wide pool
+        # forces a ragged selection shape for no recall gain)
         pool_k = min(
-            next_pow2(self.ef_construction, floor=64) + 1, chunk, padded
+            next_pow2(self.ef_construction, floor=64), chunk, padded
         )
         metric = self.metric if self.metric != "cosine" else "ip"
         n_blocks = -(-n // block)
         m0, prune_metric = self.m0, self.metric
+        # Blocks dispatch in bounded groups with a synchronous readback
+        # between groups: one giant fused dispatch at 1M rows (245
+        # blocks, ~75 s device time) crashed the TPU worker behind the
+        # relay, and so did 16 back-to-back ~5 s dispatches (sustained
+        # occupancy starves the worker); each component runs fine in
+        # isolation.  Small groups + a sync point per group keep the
+        # worker healthy and the extra RTTs are noise.
+        group = min(n_blocks, 8)
 
         @functools.partial(jax.jit, static_argnums=())
         def exact_fwd(xd, xsqd, validd, starts):
@@ -399,10 +420,19 @@ class HNSWIndex(Index):
             return sels
 
         validd = jnp.zeros((padded,), bool).at[:n].set(True)
-        starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
-        sels = np.asarray(exact_fwd(xd, xsqd, validd, starts))
         out = np.full((padded, self.m0), -1, np.int32)
-        out[: n_blocks * block] = sels.reshape(n_blocks * block, self.m0)
+        for g0 in range(0, n_blocks, group):
+            starts = (g0 + np.arange(group, dtype=np.int32)) * block
+            # pad the tail group by repeating its last block (rows
+            # recomputed, result identical; keeps ONE compiled shape)
+            starts = np.minimum(starts, (n_blocks - 1) * block)
+            sels = np.asarray(
+                exact_fwd(xd, xsqd, validd, jnp.asarray(starts))
+            ).reshape(group * block, self.m0)
+            lo = g0 * block
+            out[lo : min(lo + group * block, n_blocks * block)] = (
+                sels[: n_blocks * block - lo]
+            )
         out[n:] = -1
         out[:n] = np.where(out[:n] >= n, -1, out[:n])
         return out
