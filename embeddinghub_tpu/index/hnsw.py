@@ -357,6 +357,7 @@ class HNSWIndex(Index):
             while cap % schunk:
                 schunk //= 2
             i_parts = []
+            kpool = min(next_pow2(4 * self.m, floor=32), schunk)
             for s in range(0, members.size, qblk):
                 qpad = np.zeros((qblk, self.dims), np.float32)
                 qpad[: min(qblk, members.size - s)] = sub[s : s + qblk]
@@ -366,18 +367,46 @@ class HNSWIndex(Index):
                     jnp.asarray(svalid),
                     ssq,
                     metric=self.metric if self.metric != "cosine" else "ip",
-                    k=min(next_pow2(self.m + 1, floor=8), schunk),
+                    k=kpool,
                     chunk=schunk,
                 )
                 i_parts.append(np.asarray(i_b))
             i_ = np.concatenate(i_parts)[: members.size]
+            # hnswlib applies the selection heuristic and reciprocal
+            # linking on upper layers too (addPoint runs the same
+            # mutuallyConnectNewElement per layer).  Raw kNN lists stay
+            # fine while a layer is sparse, but at ~60k layer-1 members
+            # (1M rows) they turn myopic — all M links point into one
+            # local blob, greedy descent stalls in cluster-local minima
+            # and hands layer 0 a far-off entry (measured: median entry/
+            # true-NN distance ratio 2.1, p90 10x, recall@10 0.83
+            # @ef100).  Diversify exactly like layer 0: heuristic-select
+            # M from the exact top-4M pool, then symmetrize with
+            # overflow-only pruning at width M.
+            pool = np.full((cap, kpool), -1, np.int32)
+            pool[: members.size] = i_
+            rows_j = np.arange(members.size, dtype=np.int32)
+            pool[: members.size][i_ == rows_j[:, None]] = -1
+            from embeddinghub_tpu.ops import nn_descent as nnd
+
+            fwd = np.asarray(
+                nnd.heuristic_prune(
+                    sxd, ssq, jnp.asarray(pool),
+                    m_keep=self.m, metric=self.metric, cand_k=kpool,
+                )
+            ).astype(np.int32)
+            fwd[members.size:] = -1
+            fwd = np.where(fwd >= members.size, -1, fwd)
+            sym = self._symmetrize_local(
+                fwd, sxd, ssq, members.size, cap, width=self.m,
+            )
             layer_map = self._upper.setdefault(layer, {})
             for j, g in enumerate(gids):
                 neigh = [
                     int(local_to_row[members[t]])
-                    for t in i_[j]
-                    if t >= 0 and members[t] != members[j]
-                ][: self.m]
+                    for t in sym[j]
+                    if 0 <= t < members.size and t != j
+                ]
                 layer_map[int(g)] = neigh
         # entry point = (a) node of the top level
         top_nodes = np.flatnonzero(levels == top)
@@ -539,15 +568,18 @@ class HNSWIndex(Index):
         return nb_local
 
     def _symmetrize_local(
-        self, fwd: np.ndarray, xd, xsqd, n: int, padded: int
+        self, fwd: np.ndarray, xd, xsqd, n: int, padded: int,
+        width: int | None = None,
     ) -> np.ndarray:
         """Add reciprocal edges to the forward-pruned lists.  Rows that
-        stay within M0 keep every edge un-re-pruned (hnswlib only prunes
-        a neighbor list when it overflows); overflowing rows go through
-        one batched heuristic prune over (current ∪ incoming)."""
+        stay within the layer link width keep every edge un-re-pruned
+        (hnswlib only prunes a neighbor list when it overflows);
+        overflowing rows go through one batched heuristic prune over
+        (current ∪ incoming).  ``width`` defaults to M0 (layer 0); upper
+        layers pass M."""
         from embeddinghub_tpu.ops import nn_descent as nnd
 
-        m0 = self.m0
+        m0 = self.m0 if width is None else int(width)
         F = fwd[:n]
         flat = F.ravel()
         ve = flat >= 0
