@@ -49,12 +49,16 @@ def main() -> None:
     build_s = time.perf_counter() - t0
     idx.search(queries[0], K, with_distances=False, query_dtype="bfloat16")
 
-    # ---- timed TPU batches (indices-only readback, bf16 query upload) ----
+    # ---- timed TPU batches (indices-only readback, bf16 query upload,
+    # pipelined dispatch: batch i+1's upload overlaps batch i's
+    # compute/readback — the QueryBatcher drains concurrent RPCs the
+    # same way) ----
     t0 = time.perf_counter()
-    for i in range(TIMED_BATCHES):
-        _, r = idx.search(
-            queries[i], K, with_distances=False, query_dtype="bfloat16"
-        )
+    handles = [
+        idx.search_async(queries[i], K, query_dtype="bfloat16")
+        for i in range(TIMED_BATCHES)
+    ]
+    results = [np.asarray(h) for h in handles]
     tpu_s = time.perf_counter() - t0
     tpu_qps = TIMED_BATCHES * B / tpu_s
 

