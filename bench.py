@@ -9,7 +9,7 @@ ef=10 sits far below our ~0.998).
 
 Note: on this dev setup the chip sits behind a network tunnel
 (~27 ms RTT, ~35 MB/s), so the measured number is transfer-dominated;
-batch size and bf16 query upload amortize what can be amortized.
+batch size and int8 query upload amortize what can be amortized.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is measured speedup over a single-socket CPU
@@ -47,15 +47,15 @@ def main() -> None:
     idx.add(np.arange(N), vecs)
     idx._sync()
     build_s = time.perf_counter() - t0
-    idx.search(queries[0], K, with_distances=False, query_dtype="bfloat16")
+    idx.search(queries[0], K, with_distances=False, query_dtype="int8")
 
-    # ---- timed TPU batches (indices-only readback, bf16 query upload,
+    # ---- timed TPU batches (indices-only readback, int8 query upload,
     # pipelined dispatch: batch i+1's upload overlaps batch i's
     # compute/readback — the QueryBatcher drains concurrent RPCs the
     # same way) ----
     t0 = time.perf_counter()
     handles = [
-        idx.search_async(queries[i], K, query_dtype="bfloat16")
+        idx.search_async(queries[i], K, query_dtype="int8")
         for i in range(TIMED_BATCHES)
     ]
     results = [np.asarray(h) for h in handles]
@@ -67,7 +67,7 @@ def main() -> None:
     qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
     xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     oracle = np.argsort(-(qn @ xn.T), axis=1)[:, :K]
-    got = idx.search(qs, K, with_distances=False, query_dtype="bfloat16")[1]
+    got = idx.search(qs, K, with_distances=False, query_dtype="int8")[1]
     recall = np.mean(
         [len(set(got[i]) & set(oracle[i])) / K for i in range(len(qs))]
     )

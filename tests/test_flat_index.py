@@ -188,3 +188,35 @@ def test_search_async_pipelined(rng):
     empty = FlatIndex(dims=16)
     h = empty.search_async(np.zeros((5, 16), np.float32), 3)
     assert (np.asarray(h) == -1).all()
+
+
+def test_int8_query_upload(rng):
+    """query_dtype="int8" (quarter upload bytes: per-query scale,
+    device-side dequant) keeps recall@10 within noise of full-precision
+    queries on both the f32 and int8-storage scoring paths."""
+    n, d = 4096, 64
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((64, d)).astype(np.float32)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    oracle = np.argsort(-(qn @ xn.T), axis=1)[:, :10]
+
+    def recall(storage, qdtype):
+        idx = FlatIndex(dims=d, metric="cosine", storage_dtype=storage,
+                        capacity=n)
+        idx.add(np.arange(n), x)
+        _, got = idx.search(q, 10, query_dtype=qdtype)
+        return np.mean(
+            [len(set(got[i]) & set(oracle[i])) / 10 for i in range(len(q))]
+        )
+
+    assert recall("float32", "int8") >= 0.97
+    assert recall("int8", "int8") >= 0.95
+    # async path accepts it too and agrees with the sync result
+    idx = FlatIndex(dims=d, metric="cosine", capacity=n)
+    idx.add(np.arange(n), x)
+    h = idx.search_async(q[:13], 4, query_dtype="int8")
+    got = np.asarray(h)
+    _, want = idx.search(q[:13], 4, query_dtype="int8")
+    assert got.shape == (13, 4)
+    assert (got == want[:, :4]).all()
