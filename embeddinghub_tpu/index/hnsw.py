@@ -280,7 +280,7 @@ class HNSWIndex(Index):
             # prune identical to the incremental path.  No NN-descent,
             # no graph-walk refinement (both were gather/iteration bound).
             fwd = self._exact_build_fwd(xd, xsq, n, padded, block)
-            nb_local = self._symmetrize_local(fwd, xd, xsq, n, padded)
+            nb_local = self._symmetrize_device(fwd, xd, xsq, n, padded)
             if self.exact_refine_rounds:
                 save = self.refine_rounds
                 self.refine_rounds = self.exact_refine_rounds
@@ -456,8 +456,8 @@ class HNSWIndex(Index):
         scan (n^2 * d bf16 FLOPs total) + the standard heuristic
         selection at M0 width — so the whole forward build is a single
         device dispatch + one readback (the per-block eager version paid
-        ~6 tunnel RTTs x n/4096 blocks).  Returns [padded, m0] local ids
-        (-1 beyond n)."""
+        ~6 tunnel RTTs x n/4096 blocks).  Returns a DEVICE [padded, m0]
+        int32 array of local ids (-1 beyond n)."""
         from embeddinghub_tpu.ops import nn_descent as nnd
         from embeddinghub_tpu.ops import topk as topk_ops
 
@@ -487,12 +487,17 @@ class HNSWIndex(Index):
             def step(_, s):
                 qv = jax.lax.dynamic_slice_in_dim(xd, s, block)
                 qsq = jax.lax.dynamic_slice_in_dim(xsqd, s, block)
-                _, ids_b = topk_ops.chunked_topk_search(
+                # pooled approx_max_k selection: chunked_topk_search's
+                # per-tile [block, chunk] top_k SORTS dominated build
+                # device time (~4x total wall-clock at 256k-1M; the
+                # matmuls are ~ms) — the near-exact pooled pick keeps
+                # the same candidate quality for link selection at a
+                # fraction of the cost (measured recall unchanged,
+                # build 302 -> 77 s at 256k; benchmarks/RESULTS.md)
+                ids_b = topk_ops.pooled_topk_ids(
                     qv, xd, validd, xsqd,
                     metric=metric, k=pool_k, chunk=chunk,
-                    compute_dtype=jnp.bfloat16,
-                )
-                ids_b = ids_b.astype(jnp.int32)
+                ).astype(jnp.int32)
                 self_col = s + jnp.arange(block, dtype=jnp.int32)[:, None]
                 ids_b = jnp.where(ids_b == self_col, -1, ids_b)
                 sel = nnd.heuristic_prune(
@@ -506,22 +511,27 @@ class HNSWIndex(Index):
             return sels
 
         validd = jnp.zeros((padded,), bool).at[:n].set(True)
-        out = np.full((padded, self.m0), -1, np.int32)
+        parts = []
         for g0 in range(0, n_blocks, group):
             starts = (g0 + np.arange(group, dtype=np.int32)) * block
             # pad the tail group by repeating its last block (rows
             # recomputed, result identical; keeps ONE compiled shape)
             starts = np.minimum(starts, (n_blocks - 1) * block)
-            sels = np.asarray(
-                exact_fwd(xd, xsqd, validd, jnp.asarray(starts))
-            ).reshape(group * block, self.m0)
-            lo = g0 * block
-            out[lo : min(lo + group * block, n_blocks * block)] = (
-                sels[: n_blocks * block - lo]
-            )
-        out[n:] = -1
-        out[:n] = np.where(out[:n] >= n, -1, out[:n])
-        return out
+            sels = exact_fwd(xd, xsqd, validd, jnp.asarray(starts))
+            # scalar readback = true sync point per group (worker pacing;
+            # block_until_ready under-reports through the relay)
+            np.asarray(sels[0, 0, 0])
+            parts.append(sels.reshape(group * block, m0))
+        fwd = jnp.concatenate(parts)[: n_blocks * block]
+        if padded > fwd.shape[0]:
+            fwd = jnp.concatenate([
+                fwd,
+                jnp.full((padded - fwd.shape[0], m0), -1, jnp.int32),
+            ])
+        # stays ON DEVICE: the symmetrize pass consumes it directly and
+        # only the final [padded, m0] table crosses the wire once
+        real = (jnp.arange(padded, dtype=jnp.int32) < n)[:, None]
+        return jnp.where(real & (fwd < n), fwd, -1)
 
     # ---------------------------------------------------------- bulk refine
 
@@ -599,6 +609,38 @@ class HNSWIndex(Index):
             pruned[n:] = -1
             nb_local = self._symmetrize_local(pruned, xd, xsqd, n, padded)
         return nb_local
+
+    def _symmetrize_device(
+        self, fwd_dev, xd, xsqd, n: int, padded: int,
+        width: int | None = None,
+    ) -> np.ndarray:
+        """Device-resident symmetrize: reciprocal-edge gather + dedup in
+        one jitted dispatch (``ops/nn_descent.gather_reciprocal``), then
+        hnswlib overflow-only pruning in bounded row groups (worker
+        pacing, like ``_exact_build_fwd``).  Semantics identical to
+        ``_symmetrize_local``; the host version's numpy edge bookkeeping
+        cost ~30 s at 256k rows on the single-core VM, this is ~100 ms
+        of device time plus the prune groups."""
+        from embeddinghub_tpu.ops import nn_descent as nnd
+
+        m0 = self.m0 if width is None else int(width)
+        cap_in = 3 * m0
+        validd = jnp.zeros((padded,), bool).at[:n].set(True)
+        comb, fits = nnd.gather_reciprocal(fwd_dev, validd, cap_in=cap_in)
+        out = np.full((padded, m0), -1, np.int32)
+        group_rows = 8 * 4096
+        for s in range(0, padded, group_rows):
+            e = min(padded, s + group_rows)
+            pruned = nnd.heuristic_prune(
+                xd, xsqd, comb[s:e],
+                m_keep=m0, metric=self.metric, cand_k=m0 + cap_in,
+                q=xd[s:e], q_sq=xsqd[s:e],
+            )
+            merged = jnp.where(fits[s:e, None], comb[s:e, :m0], pruned)
+            out[s:e] = np.asarray(merged)
+        out[n:] = -1
+        out[:n] = np.where(out[:n] >= n, -1, out[:n])
+        return out
 
     def _symmetrize_local(
         self, fwd: np.ndarray, xd, xsqd, n: int, padded: int,

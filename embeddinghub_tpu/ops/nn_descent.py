@@ -201,3 +201,50 @@ def heuristic_prune(
         ),
     )
     return out.reshape(n, m_keep)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_in",))
+def gather_reciprocal(fwd: jax.Array, valid_n: jax.Array, *, cap_in: int):
+    """Device-side reciprocal-edge gather for the bulk build.
+
+    ``fwd [P, W]`` are forward link lists (-1 padded); returns
+    ``(comb [P, W+cap_in], fits [P])`` where ``comb`` is each row's
+    forward ∪ incoming edge set (deduped, valid-first) and ``fits``
+    marks rows within ``W`` live edges — hnswlib only prunes a neighbor
+    list when it overflows, so callers heuristic-prune just the
+    overflowing rows (``index/hnsw.py:_symmetrize_device``).
+
+    The host-numpy version of this (repeat/argsort/bincount over E=P*W
+    edges + row-wise sorts) cost ~30 s at 256k rows on the single-core
+    host VM; on device it is one E-element sort + one scatter + two
+    [P, W+cap_in] row sorts (~100 ms)."""
+    P, W = fwd.shape
+    E = P * W
+    dump = jnp.int32(1 << 30)
+    src = jnp.repeat(jnp.arange(P, dtype=jnp.int32), W)
+    dst = fwd.reshape(-1)
+    ev = (dst >= 0) & jnp.repeat(valid_n, W)
+    key = jnp.where(ev, dst, dump)
+    order = jnp.argsort(key)
+    gd = key[order]
+    gs = jnp.where(ev[order], src[order], -1)
+    iota = jnp.arange(E, dtype=jnp.int32)
+    head = jnp.concatenate([jnp.ones((1,), bool), gd[1:] != gd[:-1]])
+    run_start = jax.lax.cummax(jnp.where(head, iota, 0))
+    pos = iota - run_start
+    ok = (pos < cap_in) & (gd < dump)
+    # scatter incoming edges; masked ones land in a garbage row P
+    rev = jnp.full((P + 1, cap_in), -1, jnp.int32)
+    rev = rev.at[
+        jnp.where(ok, gd, P), jnp.where(ok, pos, 0)
+    ].set(jnp.where(ok, gs, -1), mode="drop")
+    comb = jnp.concatenate([fwd, rev[:P]], axis=1)
+    # dedup (neighbor lists are sets): sort desc, mask repeats, recompact
+    comb = -jnp.sort(-comb, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((P, 1), bool), comb[:, 1:] == comb[:, :-1]], axis=1
+    ) & (comb >= 0)
+    comb = jnp.where(dup, -1, comb)
+    comb = -jnp.sort(-comb, axis=1)
+    count = jnp.sum(comb >= 0, axis=1)
+    return comb, count <= W

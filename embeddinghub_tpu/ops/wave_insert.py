@@ -234,6 +234,12 @@ def make_wave_commit(
         for layer in range(0, L + 1):
             pool = pools[layer]
             cw = pool.shape[1]
+            # NOTE: selecting at full m0 width here (matching the exact
+            # build's wide forward lists) was measured WORSE at 256k
+            # SIFT-like (0.9312 vs 0.9372 @ef100): streamed rows must
+            # keep free layer-0 slots so future inserts' reciprocal
+            # edges land without triggering overflow pruning — exactly
+            # hnswlib's M-forward / M0-capacity split.
             sel = nnd.heuristic_prune(
                 x, x_sq, pool,
                 m_keep=m,
@@ -263,7 +269,8 @@ def make_wave_commit(
         # ---- 4. reciprocal commits, per layer ----
         for layer in range(0, L + 1):
             sel = sels[layer]
-            src = jnp.repeat(rows.astype(jnp.int32), m).reshape(w, m)
+            km = sel.shape[1]
+            src = jnp.repeat(rows.astype(jnp.int32), km).reshape(w, km)
             member = (link_top >= layer) & wave_valid
             ev = (sel >= 0) & member[:, None]
             if layer == 0:
