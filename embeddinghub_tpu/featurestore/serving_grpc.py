@@ -148,11 +148,18 @@ class FeatureService(pb_grpc.FeatureServicer):
 
     def TrainTestSplit(self, request_iterator, context):
         """Bidi split protocol (serving.go:125): INITIALIZE once, then
-        TRAINING/TEST requests pull batches from each split."""
+        TRAINING/TEST requests pull batches from each split.  A repeated
+        INITIALIZE swaps in fresh iterators (positions reset — the
+        reference replaces its provider iterators,
+        handleSplitInitializeRequest serving.go:182); once both splits
+        report exhausted the stream closes (serving.go:133-137)."""
         train, test = None, None
         train_pos, test_pos = 0, 0
+        train_done, test_done = False, False
         for req in request_iterator:
             if req.request_type == pb.RequestType.INITIALIZE:
+                train_pos, test_pos = 0, 0
+                train_done, test_done = False, False
                 try:
                     ds = self._serving.training_set(
                         req.id.name, req.id.version or "default"
@@ -197,9 +204,13 @@ class FeatureService(pb_grpc.FeatureServicer):
             resp.iterator_done = new_pos >= len(rows or [])
             if want_train:
                 train_pos = new_pos
+                train_done = resp.iterator_done
             else:
                 test_pos = new_pos
+                test_done = resp.iterator_done
             yield resp
+            if train_done and test_done:
+                return
 
     def TrainingDataColumns(self, request, context):
         from embeddinghub_tpu.featurestore.resources import (

@@ -286,3 +286,37 @@ def test_metrics_load_generator():
     text = gen.metrics.render()
     assert "Non-free Sulfur Dioxide" in text
     assert "test" in text
+
+
+def test_grpc_train_test_split_reinit_and_close(grpc_serving):
+    """Repeated INITIALIZE resets the split positions (the reference
+    swaps in fresh provider iterators, serving.go:182); the stream
+    closes once both splits report exhausted (serving.go:133-137)."""
+    stub, pb = grpc_serving
+
+    def reqs():
+        for _ in range(2):
+            init = pb.TrainTestSplitRequest()
+            init.id.name, init.id.version = "model", "default"
+            init.request_type = pb.RequestType.INITIALIZE
+            init.test_size = 0.5
+            yield init
+            pull = pb.TrainTestSplitRequest()
+            pull.id.name = "model"
+            pull.request_type = pb.RequestType.TRAINING
+            pull.batch_size = 10
+            yield pull
+        # exhaust both splits -> server closes the stream; further
+        # requests after close would error client-side, so stop here
+        pull = pb.TrainTestSplitRequest()
+        pull.id.name = "model"
+        pull.request_type = pb.RequestType.TEST
+        pull.batch_size = 10
+        yield pull
+
+    resps = list(stub.TrainTestSplit(reqs()))
+    assert len(resps) == 5
+    assert resps[0].initialized and resps[2].initialized
+    # re-INITIALIZE reset the train cursor: same rows served again
+    assert len(resps[3].data.rows) == len(resps[1].data.rows)
+    assert resps[3].iterator_done and resps[4].iterator_done
