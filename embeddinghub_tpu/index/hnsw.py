@@ -105,15 +105,17 @@ class HNSWIndex(Index):
         # construct only a `stream_base`-row core and stream the rest
         # through the fused wave-insert path (ops/wave_insert.py) in
         # `max_wave`-row waves.  Measured at 1M (SIFT-proxy, M=16,
-        # efC=200; benchmarks/RESULTS.md): hybrid builds in 156-369 s
-        # (vs 1210 s pure exact, 1372 s single-thread CPU) at recall@10
-        # 0.9193 @ef100; the pure exact build reaches 0.9567 — above the
-        # 0.95 parity bar and the CPU gold graph (0.9529) — so exact
-        # stays the default through 1M and hybrid takes over beyond
-        # (lower `exact_full_max` to trade recall for 4-8x build speed).
-        # 4096-row waves are the measured throughput AND quality sweet
-        # spot (larger waves cost within-wave self-blindness).
-        self.exact_full_max = 1 << 20
+        # efC=200; benchmarks/RESULTS.md): the r2c device-side exact
+        # build (pooled approx_max_k fwd pools + on-device symmetrize)
+        # reaches recall@10 0.961 @ef100 in 358 s COLD (~210 s warm) —
+        # above the 0.95 parity bar, the CPU gold graph (0.9529), and
+        # 3.8x faster than the single-thread CPU build (1372 s) — so
+        # exact construction is the default through `exact_build_max`
+        # (2M); the hybrid stream (recall 0.9193 @ef100 at 1M) takes
+        # over beyond.  4096-row waves are the measured throughput AND
+        # quality sweet spot (larger waves cost within-wave
+        # self-blindness).
+        self.exact_full_max = self.exact_build_max
         self.stream_base = 65_536
         self.max_wave = 4_096
         self._mult = 1.0 / math.log(self.m)
@@ -493,7 +495,8 @@ class HNSWIndex(Index):
                 # matmuls are ~ms) — the near-exact pooled pick keeps
                 # the same candidate quality for link selection at a
                 # fraction of the cost (measured recall unchanged,
-                # build 302 -> 77 s at 256k; benchmarks/RESULTS.md)
+                # 256k build 302 -> 65.5 s warm together with the
+                # device symmetrize; benchmarks/RESULTS.md)
                 ids_b = topk_ops.pooled_topk_ids(
                     qv, xd, validd, xsqd,
                     metric=metric, k=pool_k, chunk=chunk,
