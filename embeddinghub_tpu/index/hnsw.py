@@ -371,13 +371,15 @@ class HNSWIndex(Index):
                     self._upper.setdefault(layer, {})[int(g)] = []
                 continue
             sub = pvecs[members]
-            # round the sub-arena up to a healthy scan grain: a ragged
-            # cap forces the chunk size down to its largest power-of-2
+            # round the sub-arena up to the next POW2: a ragged cap
+            # forces the chunk size down to its largest power-of-2
             # divisor (62592 members -> schunk 128 -> 489 sequential
-            # chunk steps per block at 1M rows); padding to 4096 keeps
-            # one or few chunks
-            grain = 4096 if members.size > 4096 else 128
-            cap = max(128, -(-members.size // grain) * grain)
+            # chunk steps per block at 1M rows), and pow2 bucketing also
+            # bounds the number of distinct (cap, width) shapes the
+            # per-layer device symmetrize/prune kernels compile for —
+            # upper-layer member counts vary per dataset and each new
+            # shape costs a fresh remote jit on this tunnel
+            cap = max(128, next_pow2(members.size, floor=128))
             subx = np.zeros((cap, self.dims), np.float32)
             subx[: members.size] = sub
             svalid = np.zeros(cap, bool)
@@ -396,7 +398,7 @@ class HNSWIndex(Index):
             for s in range(0, members.size, qblk):
                 qpad = np.zeros((qblk, self.dims), np.float32)
                 qpad[: min(qblk, members.size - s)] = sub[s : s + qblk]
-                _, i_b = topk_ops.chunked_topk_search(
+                i_b = topk_ops.pooled_topk_ids(
                     jnp.asarray(qpad),
                     sxd,
                     jnp.asarray(svalid),
@@ -405,8 +407,7 @@ class HNSWIndex(Index):
                     k=kpool,
                     chunk=schunk,
                 )
-                i_parts.append(np.asarray(i_b))
-            i_ = np.concatenate(i_parts)[: members.size]
+                i_parts.append(i_b)  # stays on device
             # hnswlib applies the selection heuristic and reciprocal
             # linking on upper layers too (addPoint runs the same
             # mutuallyConnectNewElement per layer).  Raw kNN lists stay
@@ -416,23 +417,31 @@ class HNSWIndex(Index):
             # and hands layer 0 a far-off entry (measured: median entry/
             # true-NN distance ratio 2.1, p90 10x, recall@10 0.83
             # @ef100).  Diversify exactly like layer 0: heuristic-select
-            # M from the exact top-4M pool, then symmetrize with
-            # overflow-only pruning at width M.
-            pool = np.full((cap, kpool), -1, np.int32)
-            pool[: members.size] = i_
-            rows_j = np.arange(members.size, dtype=np.int32)
-            pool[: members.size][i_ == rows_j[:, None]] = -1
+            # M from the top-4M pool, then symmetrize with overflow-only
+            # pruning at width M — pools and links device-resident
+            # (pooled approx_max_k + gather_reciprocal), same machinery
+            # as layer 0.
+            i_ = jnp.concatenate(i_parts)[: members.size]
+            pool = jnp.concatenate([
+                i_,
+                jnp.full((cap - members.size, kpool), -1, jnp.int32),
+            ])
+            rows_j = jnp.arange(cap, dtype=pool.dtype)[:, None]
+            pool = jnp.where(
+                (pool == rows_j) | (rows_j >= members.size), -1, pool
+            )
             from embeddinghub_tpu.ops import nn_descent as nnd
 
-            fwd = np.asarray(
-                nnd.heuristic_prune(
-                    sxd, ssq, jnp.asarray(pool),
-                    m_keep=self.m, metric=self.metric, cand_k=kpool,
-                )
-            ).astype(np.int32)
-            fwd[members.size:] = -1
-            fwd = np.where(fwd >= members.size, -1, fwd)
-            sym = self._symmetrize_local(
+            fwd = nnd.heuristic_prune(
+                sxd, ssq, pool,
+                m_keep=self.m, metric=self.metric, cand_k=kpool,
+            )
+            fwd = jnp.where(
+                (fwd >= members.size) | (rows_j[: fwd.shape[0]] >= members.size),
+                -1,
+                fwd,
+            )
+            sym = self._symmetrize_device(
                 fwd, sxd, ssq, members.size, cap, width=self.m,
             )
             layer_map = self._upper.setdefault(layer, {})

@@ -543,8 +543,8 @@ def pooled_topk_ids(
         return jnp.where(vc[None, :], s, -INF)
 
     if n_chunks == 1:
-        _, ci = jax.lax.approx_max_k(score_chunk(x, x_sq, valid), k)
-        return ci
+        cv, ci = jax.lax.approx_max_k(score_chunk(x, x_sq, valid), k)
+        return jnp.where(jnp.isfinite(cv), ci, -1)
 
     x_c = x.reshape(n_chunks, chunk, d)
     sq_c = x_sq.reshape(n_chunks, chunk)
@@ -555,13 +555,20 @@ def pooled_topk_ids(
     # PartialReduce buffer (a top-k sort over it).  When the raw buffers
     # for every chunk fit a bounded pool, emit them unaggregated
     # (aggregate_to_topk=False) and aggregate ONCE over the stacked pool
-    # — measured 1.55x faster at 256k/4 chunks.  Deep caps (many chunks)
+    # — measured 1.55x faster at 256k/4 chunks (standalone at 1M/16
+    # chunks it benches 6.8x, but the ~4 GB stacked pool thrashes HBM
+    # inside the bulk build's grouped block scans: 1M fwd regressed
+    # 275 -> 877 s, so the cap stays at 2^16 pool entries).  The raw
+    # buffer (~chunk/8 entries) dwarfs k, so the per-chunk margin is
+    # implicit and kc=k suffices in raw mode.  Deep caps (many chunks)
     # fall back to per-chunk aggregation at kc to bound the pool.
     raw_l = jax.eval_shape(
-        lambda s: jax.lax.approx_max_k(s, kc, aggregate_to_topk=False),
+        lambda s: jax.lax.approx_max_k(s, k, aggregate_to_topk=False),
         jax.ShapeDtypeStruct((b, chunk), jnp.float32),
     )[0].shape[1]
     use_raw = n_chunks * raw_l <= (1 << 16)
+    if use_raw:
+        kc = k
 
     def step(_, inp):
         xc, sqc, vc, base = inp
@@ -574,8 +581,10 @@ def pooled_topk_ids(
     width = raw_l if use_raw else kc
     sv = jnp.moveaxis(cvs, 0, 1).reshape(b, n_chunks * width)
     si = jnp.moveaxis(cis, 0, 1).reshape(b, n_chunks * width)
-    _, pos = jax.lax.approx_max_k(sv, k)
-    return jnp.take_along_axis(si, pos, axis=1)
+    cv, pos = jax.lax.approx_max_k(sv, k)
+    ids = jnp.take_along_axis(si, pos, axis=1)
+    # slots backed by masked/-inf scores carry arbitrary indices -> -1
+    return jnp.where(jnp.isfinite(cv), ids, -1)
 
 
 def _merge_topk(
