@@ -10,3 +10,5 @@ from embeddinghub_tpu.featurestore.providers import memory_online  # noqa: F401
 from embeddinghub_tpu.featurestore.providers import sqlite_offline  # noqa: F401
 from embeddinghub_tpu.featurestore.providers import engine_vector  # noqa: F401
 from embeddinghub_tpu.featurestore.providers import redis_online  # noqa: F401
+from embeddinghub_tpu.featurestore.providers import sqlite_online  # noqa: F401
+from embeddinghub_tpu.featurestore.providers import pandas_offline  # noqa: F401

@@ -106,6 +106,14 @@ class Registrar:
     ) -> Provider:
         return self.register_provider(name, "SQLITE_OFFLINE", {"path": path})
 
+    def register_pandas_offline(
+        self, name: str = "pandas-offline", path: str | None = None
+    ) -> Provider:
+        """Pandas + jsonl-filestore offline store (the local seat of the
+        reference's Spark/filestore offline stores; see
+        providers/pandas_offline.py)."""
+        return self.register_provider(name, "PANDAS_OFFLINE", {"path": path})
+
     def register_engine_vector_store(
         self,
         name: str = "embeddinghub-tpu",

@@ -10,7 +10,8 @@ Providers covered here:
   * MEMORY_ONLINE       (in-process dict)
   * REDIS_ONLINE        (RESP wire against the in-process RESP fake)
   * EMBEDDINGHUB_TPU    (vector store on the engine)
-  * SQLITE_OFFLINE      (offline contract)
+  * SQLITE_OFFLINE      (offline contract, SQL engine)
+  * PANDAS_OFFLINE      (offline contract, pandas + jsonl filestore)
 """
 
 import numpy as np
@@ -25,6 +26,7 @@ import embeddinghub_tpu.featurestore.providers.memory_online  # noqa: F401
 import embeddinghub_tpu.featurestore.providers.engine_vector  # noqa: F401
 import embeddinghub_tpu.featurestore.providers.redis_online  # noqa: F401
 import embeddinghub_tpu.featurestore.providers.sqlite_offline  # noqa: F401
+import embeddinghub_tpu.featurestore.providers.pandas_offline  # noqa: F401
 import embeddinghub_tpu.featurestore.providers.sqlite_online  # noqa: F401
 
 
@@ -167,9 +169,13 @@ class TestVectorContract:
 # ------------------------------------------------------------ offline
 
 
-@pytest.fixture(params=["SQLITE_OFFLINE"])
+@pytest.fixture(params=["SQLITE_OFFLINE", "PANDAS_OFFLINE"])
 def offline_store(request, tmp_path):
-    p = get_provider(request.param, {"path": str(tmp_path / "off.db")})
+    if request.param == "PANDAS_OFFLINE":
+        p = get_provider(request.param, {"path": str(tmp_path / "pands")},
+                         cache_key=str(tmp_path))
+    else:
+        p = get_provider(request.param, {"path": str(tmp_path / "off.db")})
     yield p.as_offline_store()
 
 
@@ -212,3 +218,29 @@ class TestOfflineContract:
         )
         rows = {r["user"]: r["total"] for r in offline_store.table_rows("agg", "v1")}
         assert rows == {"a": 5, "b": 5}
+
+
+def test_pandas_offline_reopens_from_files(tmp_path):
+    """Datasets are jsonl FILES: a fresh store instance over the same
+    directory serves the same tables (the filestore-offline property the
+    reference's Spark stores get from object storage)."""
+    from embeddinghub_tpu.featurestore.providers.pandas_offline import (
+        PandasOfflineStore,
+    )
+
+    s1 = PandasOfflineStore({"path": str(tmp_path)})
+    s1.register_primary(
+        "src", "v1", {"rows": [{"user": "a", "n": 1}, {"user": "b", "n": 2}]}
+    )
+    s1.create_transformation(
+        "tot", "v1",
+        {"sql": "SELECT user, SUM(n) AS t FROM {{ src.v1 }} GROUP BY user"},
+        inputs=[("src", "v1")],
+    )
+    s2 = PandasOfflineStore({"path": str(tmp_path)})
+    assert {r["user"] for r in s2.table_rows("src", "v1")} == {"a", "b"}
+    assert {r["user"]: r["t"] for r in s2.table_rows("tot", "v1")} == {
+        "a": 1, "b": 2,
+    }
+    mat = s2.materialize("src", "v1", "user", "n")
+    assert dict(mat.rows()) == {"a": 1, "b": 2}
