@@ -118,6 +118,12 @@ class HNSWIndex(Index):
         self.exact_full_max = self.exact_build_max
         self.stream_base = 65_536
         self.max_wave = 4_096
+        # Post-stream refine sweep for hybrid (>exact_full_max) builds
+        # (see refine()).  Off by default: a full-graph refine costs the
+        # same n^2-scan work as the exact build, so below
+        # `exact_build_max` one should just build exactly; it exists as
+        # a repair tool after heavy streaming churn.
+        self.stream_refine = False
         self._mult = 1.0 / math.log(self.m)
         self._rng = np.random.default_rng(seed)
 
@@ -195,6 +201,7 @@ class HNSWIndex(Index):
         pending = rows[order]
         pvecs = prepped[order]
 
+        bulk_streamed = False
         if self._graph_size() == 0 and len(pending) >= 2048:
             # Bulk path: exact-scan graph construction — fully batched on
             # device, no sequential insertion.  Above `exact_full_max`
@@ -205,6 +212,7 @@ class HNSWIndex(Index):
             base = len(pending)
             if base > self.exact_full_max:
                 base = self.stream_base
+                bulk_streamed = True
             self._bulk_build(pending[:base], pvecs[:base])
             self._invalidate_device()
             pending, pvecs = pending[base:], pvecs[base:]
@@ -237,7 +245,80 @@ class HNSWIndex(Index):
         # heuristic-selected per wave and score slightly better
         # (recall@10 0.9193 vs 0.9047 @ef100) at a fraction of the cost.
         # The hybrid/exact quality gap lives in layer-0 commit ordering,
-        # not the upper stack (benchmarks/RESULTS.md, 1M section).
+        # not the upper stack (benchmarks/RESULTS.md, 1M section) — which
+        # is exactly what the refine pass below repairs.
+        if bulk_streamed and self.stream_refine:
+            self.refine()
+
+    def refine(self, rows: np.ndarray | None = None) -> None:
+        """Layer-0 repair sweep: re-select the given rows' forward links
+        from near-exact pools over the FULL current arena, then
+        re-symmetrize the whole layer globally — the batched analog of
+        hnswlib's "re-insert every point into the finished graph" trick.
+        Levels, entry point and upper layers are preserved.
+
+        Use after heavy streaming churn (or a hybrid >exact_full_max
+        build with ``stream_refine`` enabled).  NOTE: a *sequential*
+        group-commit refine (re-running the wave kernel per group) was
+        measured WORSE than no refine (0.9104 vs 0.9375 @ef64 on 6k
+        CPU): each re-committed row loses its accumulated reciprocal
+        edges and only later groups re-add in-edges, decimating average
+        degree.  The global symmetrize below is what made the r2a
+        refinement work (0.93 -> 0.9967 @ef100 at 50k)."""
+        from embeddinghub_tpu.ops import nn_descent as nnd
+        from embeddinghub_tpu.ops import topk as topk_ops
+
+        self._sync_host()
+        if rows is None:
+            rows = np.flatnonzero(self._levels >= 0)
+        rows = np.asarray(rows, np.int64).ravel()
+        rows = rows[self._hvalid[rows]]
+        if rows.size == 0 or self._graph_size() == 0:
+            return
+        state = self._device_arrays()
+        xd, xsqd, validd = state["x"], state["x_sq"], state["valid"]
+        cap = self._cap
+        pool_k = min(
+            next_pow2(self.ef_construction, floor=64), cap
+        )
+        # current lists seed the un-refined rows; dead rows contribute
+        # no edges to the global symmetrize
+        fwd = jnp.where(
+            jnp.asarray(self._hvalid)[:, None], jnp.asarray(self._nb0), -1
+        )
+        for s in range(0, len(rows), self.max_wave):
+            grp = rows[s : s + self.max_wave]
+            w = len(grp)
+            bw = next_pow2(w, floor=256 if w > 64 else 8)
+            qv = np.zeros((bw, self.dims), np.float32)
+            qv[:w] = self._prep(self._hx[grp].astype(np.float32))
+            qd = jnp.asarray(qv)
+            ids_b = topk_ops.pooled_topk_ids(
+                qd, xd, validd, xsqd,
+                metric=self.metric if self.metric != "cosine" else "ip",
+                k=min(pool_k, cap),
+                chunk=min(cap, 1 << 16),
+            )
+            grp_p = np.full((bw,), grp[0], np.int64)
+            grp_p[:w] = grp
+            ids_b = jnp.where(
+                ids_b == jnp.asarray(grp_p, jnp.int32)[:, None], -1, ids_b
+            )
+            sel = nnd.heuristic_prune(
+                xd, xsqd, ids_b,
+                m_keep=self.m0, metric=self.metric, cand_k=int(ids_b.shape[1]),
+                q=qd, q_sq=jnp.einsum("wd,wd->w", qd, qd),
+            )
+            fwd = fwd.at[jnp.asarray(grp_p)].set(sel[:, : self.m0])
+        nb0 = self._symmetrize_device(
+            fwd, xd, xsqd, cap, cap
+        )
+        dead = ~self._hvalid
+        nb0[dead] = -1
+        nb0[(nb0 >= 0) & dead[np.clip(nb0, 0, cap - 1)]] = -1
+        self._nb0[:] = nb0
+        state["nb0"] = jnp.asarray(nb0)
+        self._host_stale = False
 
     # ------------------------------------------------------------- bulk build
 
