@@ -106,3 +106,59 @@ def test_sharded_streaming_scatter_path(rng, mesh):
     idx.add([7], moved[None, :])
     _, rows = idx.search(moved[None, :], 1)
     assert rows[0, 0] == 7
+
+
+def test_sharded_hnsw_recall_and_roundtrip(rng, mesh):
+    """Graph engine over the mesh: per-shard greedy-descent + beam in one
+    shard_map dispatch, ICI all_gather merge.  Union of per-shard top-k
+    must recover the true global top-k at beam ef >= local shard size
+    class; snapshot/restore preserves results."""
+    from embeddinghub_tpu.parallel.sharded_hnsw import ShardedHNSWIndex
+
+    n, d, k = 4096, 24, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    idx = ShardedHNSWIndex(d, mesh=mesh, m=8, ef_construction=48,
+                           capacity=n)
+    idx.add(np.arange(n), vecs)
+    assert idx.size == n
+
+    d2 = ((q[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    oracle = np.argsort(d2, axis=1)[:, :k]
+    _, got = idx.search(q, k, ef=64)
+    rec = np.mean(
+        [len(set(got[i]) & set(oracle[i])) / k for i in range(len(q))]
+    )
+    assert rec >= 0.9, rec
+
+    # keyed self-retrieval across shards
+    rows = rng.choice(n, 32, replace=False)
+    _, i1 = idx.search(vecs[rows] + 1e-5, 1, ef=48)
+    assert (i1[:, 0] == rows).mean() >= 0.95
+
+    # removal masks rows out of results
+    idx.remove(rows[:4])
+    _, i2 = idx.search(vecs[rows[:4]] + 1e-5, 1, ef=48)
+    assert not np.isin(i2[:, 0], rows[:4]).any()
+
+    # snapshot -> restore -> identical top-1
+    arrays = idx.state_arrays()
+    idx2 = ShardedHNSWIndex.from_state(d, "l2", arrays, mesh=mesh)
+    _, j1 = idx.search(q, k, ef=64)
+    _, j2 = idx2.search(q, k, ef=64)
+    assert (j1[:, 0] == j2[:, 0]).all()
+
+
+def test_sharded_hnsw_empty_and_streaming(rng, mesh):
+    from embeddinghub_tpu.parallel.sharded_hnsw import ShardedHNSWIndex
+
+    d = 16
+    idx = ShardedHNSWIndex(d, mesh=mesh, m=8, ef_construction=32)
+    dist, ids = idx.search(np.zeros((5, d), np.float32), 3)
+    assert ids.shape == (5, 3) and (ids == -1).all()
+    # streaming adds in batches, including shard-uneven tails
+    x = rng.standard_normal((700, d)).astype(np.float32)
+    for s in range(0, 700, 150):
+        idx.add(np.arange(s, min(s + 150, 700)), x[s:min(s + 150, 700)])
+    _, got = idx.search(x[:8] + 1e-5, 1, ef=32)
+    assert (got[:, 0] == np.arange(8)).all()
