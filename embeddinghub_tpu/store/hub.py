@@ -30,8 +30,9 @@ class EmbeddingHub:
     ``"flat-int8"`` / ``"flat-int8x2"`` (quantized arenas — 2x / 4x /
     2x HBM capacity; int8x2 keeps an int8 residual plane so its rerank
     resolves dense near-duplicate data, see index/flat.py), ``"sharded"``
-    (row-sharded over a device mesh with ICI top-k merge), or ``"hnsw"``
-    (array-form graph, hnswlib-parity)."""
+    (row-sharded over a device mesh with ICI top-k merge), ``"hnsw"``
+    (array-form graph, hnswlib-parity), or ``"hnsw-sharded"`` (per-shard
+    graphs over the mesh, per-shard beam + ICI all-gather merge)."""
 
     def __init__(
         self,
@@ -84,6 +85,21 @@ class EmbeddingHub:
             return HNSWIndex(
                 dims,
                 metric=metric,
+                m=cfg.hnsw_m,
+                ef_construction=cfg.hnsw_ef_construction,
+                ef_search=cfg.hnsw_ef_search,
+            )
+        if self.engine == "hnsw-sharded":
+            from embeddinghub_tpu.parallel.sharded_hnsw import (
+                ShardedHNSWIndex,
+            )
+            from embeddinghub_tpu.utils.config import get_config
+
+            cfg = get_config()
+            return ShardedHNSWIndex(
+                dims,
+                metric=metric,
+                mesh=self.mesh,
                 m=cfg.hnsw_m,
                 ef_construction=cfg.hnsw_ef_construction,
                 ef_search=cfg.hnsw_ef_search,

@@ -150,6 +150,12 @@ def _index_registry() -> dict:
         registry["ShardedFlatIndex"] = ShardedFlatIndex
     except ImportError:
         pass
+    try:
+        from embeddinghub_tpu.parallel.sharded_hnsw import ShardedHNSWIndex
+
+        registry["ShardedHNSWIndex"] = ShardedHNSWIndex
+    except ImportError:
+        pass
     return registry
 
 
