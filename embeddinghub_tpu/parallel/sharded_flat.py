@@ -43,6 +43,17 @@ def _sharded_scatter(x, x_sq, valid, rows, vecs, vecs_sq, valid_bits):
     return x, x_sq, valid
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _sharded_scatter_q(
+    xq, scales, x_sq, valid, rows, qrows, row_scales, vecs_sq, valid_bits
+):
+    xq = xq.at[rows].set(qrows)
+    scales = scales.at[rows].set(row_scales)
+    x_sq = x_sq.at[rows].set(vecs_sq)
+    valid = valid.at[rows].set(valid_bits)
+    return xq, scales, x_sq, valid
+
+
 class ShardedFlatIndex(Index):
     def __init__(
         self,
@@ -52,12 +63,21 @@ class ShardedFlatIndex(Index):
         capacity: int = 1024,
         chunk_target: int = 16384,
         compute_dtype: str = "float32",
+        storage_dtype: str = "float32",
     ):
+        """``storage_dtype="int8"`` keeps each shard's arena quantized
+        (per-row symmetric scales, int8 x int8 -> int32 MXU scoring with
+        an f32 rerank of the pooled candidates — same scheme as the
+        single-chip ``FlatIndex``): 4x rows per chip, the multi-chip
+        Deep-scale capacity lever (BASELINE config 5)."""
         if metric not in dist_ops.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
+        if storage_dtype not in ("float32", "int8"):
+            raise ValueError(f"unsupported storage_dtype {storage_dtype!r}")
         self.dims = int(dims)
         self.metric = metric
         self.compute_dtype = compute_dtype
+        self.storage_dtype = storage_dtype
         self.mesh = mesh if mesh is not None else default_mesh()
         self.n_shards = self.mesh.devices.size
         self._chunk_target = chunk_target
@@ -70,6 +90,7 @@ class ShardedFlatIndex(Index):
         self._dx = None
         self._dx_sq = None
         self._dvalid = None
+        self._dscales = None
         self._dirty = True
         self._dirty_rows: set[int] = set()
         self._search_fn = None
@@ -155,7 +176,21 @@ class ShardedFlatIndex(Index):
             norms = np.linalg.norm(x, axis=1, keepdims=True)
             x = x / np.maximum(norms, 1e-30)
         row_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
-        self._dx = jax.device_put(self._shard_major(x), row_sharding)
+        if self.storage_dtype == "int8":
+            # quantize on the HOST and ship int8 (quarter the upload
+            # bytes — the wire is the bottleneck, like FlatIndex._sync)
+            scales = np.maximum(
+                np.abs(x).max(axis=1) / 127.0, 1e-30
+            ).astype(np.float32)
+            xq = np.clip(
+                np.round(x / scales[:, None]), -127, 127
+            ).astype(np.int8)
+            self._dx = jax.device_put(self._shard_major(xq), row_sharding)
+            self._dscales = jax.device_put(
+                self._shard_major(scales), row_sharding
+            )
+        else:
+            self._dx = jax.device_put(self._shard_major(x), row_sharding)
         self._dx_sq = jax.device_put(
             self._shard_major(np.einsum("nd,nd->n", x, x)), row_sharding
         )
@@ -181,6 +216,28 @@ class ShardedFlatIndex(Index):
         s, capl = self.n_shards, self._cap_local
         dev_rows = (rows % s) * capl + rows // s
         valid_bits = self._hvalid[rows]
+        if self.storage_dtype == "int8":
+            scales = np.maximum(
+                np.abs(vecs).max(axis=1) / 127.0, 1e-30
+            ).astype(np.float32)
+            qrows = np.clip(
+                np.round(vecs / scales[:, None]), -127, 127
+            ).astype(np.int8)
+            self._dx, self._dscales, self._dx_sq, self._dvalid = (
+                _sharded_scatter_q(
+                    self._dx,
+                    self._dscales,
+                    self._dx_sq,
+                    self._dvalid,
+                    jnp.asarray(dev_rows.astype(np.int32)),
+                    jnp.asarray(qrows),
+                    jnp.asarray(scales),
+                    jnp.asarray(np.einsum("nd,nd->n", vecs, vecs)),
+                    jnp.asarray(valid_bits),
+                )
+            )
+            self._dirty_rows.clear()
+            return
         self._dx, self._dx_sq, self._dvalid = _sharded_scatter(
             self._dx,
             self._dx_sq,
@@ -200,13 +257,10 @@ class ShardedFlatIndex(Index):
         chunk = min(self._cap_local, self._chunk_target)
         compute_dtype = self.compute_dtype
         n_shards = self.n_shards
+        int8 = self.storage_dtype == "int8"
+        over = min(8, max(1, self._cap_local // max(k, 1)))
 
-        def local_search(q, x, valid, x_sq):
-            # q replicated [B, D]; x/valid/x_sq are this shard's rows.
-            d, i = topk_ops.chunked_topk_search(
-                q, x, valid, x_sq,
-                metric=metric, k=k, chunk=chunk, compute_dtype=compute_dtype,
-            )
+        def merge(d, i, q):
             # local row p on shard s is host row p * S + s
             shard = jax.lax.axis_index(SHARD_AXIS)
             i_host = jnp.where(i >= 0, i * n_shards + shard, -1)
@@ -216,13 +270,41 @@ class ShardedFlatIndex(Index):
             b = q.shape[0]
             dd = jnp.transpose(dg, (1, 0, 2)).reshape(b, n_shards * k)
             ii = jnp.transpose(ig, (1, 0, 2)).reshape(b, n_shards * k)
+            dd = jnp.where(ii >= 0, dd, jnp.inf)
             nd, pos = jax.lax.top_k(-dd, k)
             return -nd, jnp.take_along_axis(ii, pos, axis=1)
+
+        if int8:
+            def local_search(q, xq, scales, valid, x_sq):
+                d, i = topk_ops.int8_oversample_search(
+                    q, xq, scales, valid, x_sq, None,
+                    metric=metric, k=k, oversample=over,
+                )
+                return merge(d, i, q)
+
+            in_specs = (
+                P(None, None), P(SHARD_AXIS, None), P(SHARD_AXIS),
+                P(SHARD_AXIS), P(SHARD_AXIS),
+            )
+        else:
+            def local_search(q, x, valid, x_sq):
+                # q replicated [B, D]; x/valid/x_sq are this shard's rows.
+                d, i = topk_ops.chunked_topk_search(
+                    q, x, valid, x_sq,
+                    metric=metric, k=k, chunk=chunk,
+                    compute_dtype=compute_dtype,
+                )
+                return merge(d, i, q)
+
+            in_specs = (
+                P(None, None), P(SHARD_AXIS, None), P(SHARD_AXIS),
+                P(SHARD_AXIS),
+            )
 
         fn = shard_map(
             local_search,
             mesh=mesh,
-            in_specs=(P(None, None), P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+            in_specs=in_specs,
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )
@@ -249,7 +331,15 @@ class ShardedFlatIndex(Index):
         if self.metric == "cosine":
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = queries / np.maximum(norms, 1e-30)
-        d, i = self._search_fn(jnp.asarray(queries), self._dx, self._dvalid, self._dx_sq)
+        if self.storage_dtype == "int8":
+            d, i = self._search_fn(
+                jnp.asarray(queries), self._dx, self._dscales,
+                self._dvalid, self._dx_sq,
+            )
+        else:
+            d, i = self._search_fn(
+                jnp.asarray(queries), self._dx, self._dvalid, self._dx_sq
+            )
         d = np.asarray(d)[:b, :k]
         i = np.asarray(i)[:b, :k].astype(np.int64)
         i[~np.isfinite(d)] = -1
@@ -265,13 +355,27 @@ class ShardedFlatIndex(Index):
 
     # -------------------------------------------------------------- snapshot
 
+    _STORAGE_CODES = {"float32": 0, "int8": 2}
+
     def state_arrays(self) -> dict[str, np.ndarray]:
-        return {"x": self._hx, "valid": self._hvalid}
+        return {
+            "x": self._hx,
+            "valid": self._hvalid,
+            "sflat_meta": np.asarray(
+                [self._STORAGE_CODES.get(self.storage_dtype, 0)], np.int32
+            ),
+        }
 
     @classmethod
     def from_state(
         cls, dims: int, metric: str, arrays: dict[str, np.ndarray], **kw
     ) -> "ShardedFlatIndex":
+        if "sflat_meta" in arrays and "storage_dtype" not in kw:
+            codes = {v: k for k, v in cls._STORAGE_CODES.items()}
+            kw = dict(
+                kw, storage_dtype=codes[int(arrays["sflat_meta"][0])]
+            )
+        arrays = {k: v for k, v in arrays.items() if k != "sflat_meta"}
         idx = cls(dims, metric=metric, capacity=arrays["x"].shape[0], **kw)
         n = arrays["x"].shape[0]
         idx._hx[:n] = arrays["x"]

@@ -73,10 +73,15 @@ class EmbeddingHub:
                 dims, metric=metric,
                 storage_dtype=self._QUANTIZED[self.engine],
             )
-        if self.engine == "sharded":
+        if self.engine in ("sharded", "sharded-int8"):
             from embeddinghub_tpu.parallel.sharded_flat import ShardedFlatIndex
 
-            return ShardedFlatIndex(dims, metric=metric, mesh=self.mesh)
+            return ShardedFlatIndex(
+                dims, metric=metric, mesh=self.mesh,
+                storage_dtype=(
+                    "int8" if self.engine == "sharded-int8" else "float32"
+                ),
+            )
         if self.engine == "hnsw":
             from embeddinghub_tpu.index.hnsw import HNSWIndex
             from embeddinghub_tpu.utils.config import get_config

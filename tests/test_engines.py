@@ -9,8 +9,8 @@ from embeddinghub_tpu.store import EmbeddingHub
 
 @pytest.mark.parametrize(
     "engine",
-    ["flat", "flat-bf16", "flat-int8", "flat-int8x2", "sharded", "hnsw",
-     "hnsw-sharded"],
+    ["flat", "flat-bf16", "flat-int8", "flat-int8x2", "sharded",
+     "sharded-int8", "hnsw", "hnsw-sharded"],
 )
 def test_engine_end_to_end(engine, rng):
     hub = EmbeddingHub.in_memory(engine=engine)
@@ -24,7 +24,9 @@ def test_engine_end_to_end(engine, rng):
     np.testing.assert_array_equal(v.get("k42"), vecs[42])
 
 
-@pytest.mark.parametrize("engine", ["sharded", "hnsw", "hnsw-sharded"])
+@pytest.mark.parametrize(
+    "engine", ["sharded", "sharded-int8", "hnsw", "hnsw-sharded"]
+)
 def test_engine_snapshot_roundtrip(engine, rng, tmp_path):
     hub = EmbeddingHub.load_or_create(tmp_path / "st", engine=engine)
     hub.create_space("s", dims=8)

@@ -162,3 +162,29 @@ def test_sharded_hnsw_empty_and_streaming(rng, mesh):
         idx.add(np.arange(s, min(s + 150, 700)), x[s:min(s + 150, 700)])
     _, got = idx.search(x[:8] + 1e-5, 1, ef=32)
     assert (got[:, 0] == np.arange(8)).all()
+
+
+def test_sharded_int8_matches_f32_ranking(rng, mesh):
+    """int8 sharded arenas (4x rows/chip) keep ranking within rerank
+    tolerance of the f32 mesh scan."""
+    n, d, k = 4096, 32, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((13, d)).astype(np.float32)
+    f32 = ShardedFlatIndex(d, mesh=mesh, capacity=n)
+    f32.add(np.arange(n), vecs)
+    q8 = ShardedFlatIndex(d, mesh=mesh, capacity=n, storage_dtype="int8")
+    q8.add(np.arange(n), vecs)
+    _, want = f32.search(q, k)
+    _, got = q8.search(q, k)
+    overlap = np.mean([
+        len(set(got[i]) & set(want[i])) / k for i in range(len(q))
+    ])
+    assert overlap >= 0.9, overlap
+    # streaming scatter path (in-place overwrite after sync) keeps the
+    # quantized arena coherent
+    nv = 3.0 + rng.standard_normal((16, d)).astype(np.float32)
+    q8.add(np.arange(16), nv)
+    assert not q8._dirty  # small dirty set -> scatter, not full re-upload
+    _, i = q8.search(nv[:4] + 1e-5, 1)
+    assert not q8._dirty_rows  # the sync drained via the scatter path
+    assert (i[:, 0] == np.arange(4)).all()
