@@ -98,6 +98,29 @@ def worker(process_id: int, num_processes: int, local_devices: int, port: int):
     assert (got == targets).all(), (got, targets)
     if process_id == 0:
         print(f"PASS multihost {num_processes}x{local_devices}: top-1 {got.tolist()}", flush=True)
+
+    # --- sharded GRAPH engine across processes: every process builds
+    # the identical per-shard graphs (deterministic seeds), the stacked
+    # state is device_put onto the GLOBAL mesh (jax verifies the SPMD
+    # consistency), and the per-shard beam + all-gather merge crosses
+    # the process boundary exactly like the flat leg above ---
+    from embeddinghub_tpu.parallel.sharded_hnsw import ShardedHNSWIndex
+
+    n_rows = n_dev * 96
+    gx = rng.standard_normal((n_rows, d)).astype(np.float32)
+    gidx = ShardedHNSWIndex(
+        d, mesh=mesh, m=8, ef_construction=32, capacity=n_rows
+    )
+    gidx.add(np.arange(n_rows), gx)
+    probe = np.arange(0, n_rows, n_rows // 8)[:8]
+    _, gi = gidx.search(gx[probe] + 1e-5, 1, ef=32)
+    assert (gi[:, 0] == probe).mean() >= 0.9, (gi[:, 0].tolist(), probe.tolist())
+    if process_id == 0:
+        print(
+            f"PASS multihost graph {num_processes}x{local_devices}: "
+            f"top-1 {gi[:, 0].tolist()}",
+            flush=True,
+        )
     jax.distributed.shutdown()
 
 
