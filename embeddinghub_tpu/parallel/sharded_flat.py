@@ -69,10 +69,14 @@ class ShardedFlatIndex(Index):
         (per-row symmetric scales, int8 x int8 -> int32 MXU scoring with
         an f32 rerank of the pooled candidates — same scheme as the
         single-chip ``FlatIndex``): 4x rows per chip, the multi-chip
-        Deep-scale capacity lever (BASELINE config 5)."""
+        Deep-scale capacity lever (BASELINE config 5).  ``"int8x2"``
+        adds an int8 residual plane (x ≈ scale·(hi + lo/254), ~int15
+        rerank resolution at 2 B/elem) for dense near-duplicate data
+        where plain-int8 score gaps drown in quantization noise — see
+        ``index/flat.py``."""
         if metric not in dist_ops.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
-        if storage_dtype not in ("float32", "int8"):
+        if storage_dtype not in ("float32", "int8", "int8x2"):
             raise ValueError(f"unsupported storage_dtype {storage_dtype!r}")
         self.dims = int(dims)
         self.metric = metric
@@ -91,6 +95,7 @@ class ShardedFlatIndex(Index):
         self._dx_sq = None
         self._dvalid = None
         self._dscales = None
+        self._dx_lo = None
         self._dirty = True
         self._dirty_rows: set[int] = set()
         self._search_fn = None
@@ -176,19 +181,27 @@ class ShardedFlatIndex(Index):
             norms = np.linalg.norm(x, axis=1, keepdims=True)
             x = x / np.maximum(norms, 1e-30)
         row_sharding = NamedSharding(self.mesh, P(SHARD_AXIS))
-        if self.storage_dtype == "int8":
+        if self.storage_dtype in ("int8", "int8x2"):
             # quantize on the HOST and ship int8 (quarter the upload
             # bytes — the wire is the bottleneck, like FlatIndex._sync)
             scales = np.maximum(
                 np.abs(x).max(axis=1) / 127.0, 1e-30
             ).astype(np.float32)
-            xq = np.clip(
+            hi = np.clip(
                 np.round(x / scales[:, None]), -127, 127
             ).astype(np.int8)
-            self._dx = jax.device_put(self._shard_major(xq), row_sharding)
+            self._dx = jax.device_put(self._shard_major(hi), row_sharding)
             self._dscales = jax.device_put(
                 self._shard_major(scales), row_sharding
             )
+            if self.storage_dtype == "int8x2":
+                resid = x / scales[:, None] - hi
+                lo = np.clip(
+                    np.round(resid * 254.0), -127, 127
+                ).astype(np.int8)
+                self._dx_lo = jax.device_put(
+                    self._shard_major(lo), row_sharding
+                )
         else:
             self._dx = jax.device_put(self._shard_major(x), row_sharding)
         self._dx_sq = jax.device_put(
@@ -216,13 +229,21 @@ class ShardedFlatIndex(Index):
         s, capl = self.n_shards, self._cap_local
         dev_rows = (rows % s) * capl + rows // s
         valid_bits = self._hvalid[rows]
-        if self.storage_dtype == "int8":
+        if self.storage_dtype in ("int8", "int8x2"):
             scales = np.maximum(
                 np.abs(vecs).max(axis=1) / 127.0, 1e-30
             ).astype(np.float32)
             qrows = np.clip(
                 np.round(vecs / scales[:, None]), -127, 127
             ).astype(np.int8)
+            if self.storage_dtype == "int8x2":
+                resid = vecs / scales[:, None] - qrows
+                lorows = np.clip(
+                    np.round(resid * 254.0), -127, 127
+                ).astype(np.int8)
+                self._dx_lo = self._dx_lo.at[
+                    jnp.asarray(dev_rows.astype(np.int32))
+                ].set(jnp.asarray(lorows))
             self._dx, self._dscales, self._dx_sq, self._dvalid = (
                 _sharded_scatter_q(
                     self._dx,
@@ -257,8 +278,11 @@ class ShardedFlatIndex(Index):
         chunk = min(self._cap_local, self._chunk_target)
         compute_dtype = self.compute_dtype
         n_shards = self.n_shards
-        int8 = self.storage_dtype == "int8"
-        over = min(8, max(1, self._cap_local // max(k, 1)))
+        int8 = self.storage_dtype in ("int8", "int8x2")
+        residual = self.storage_dtype == "int8x2"
+        over = min(
+            16 if residual else 8, max(1, self._cap_local // max(k, 1))
+        )
 
         def merge(d, i, q):
             # local row p on shard s is host row p * S + s
@@ -274,7 +298,19 @@ class ShardedFlatIndex(Index):
             nd, pos = jax.lax.top_k(-dd, k)
             return -nd, jnp.take_along_axis(ii, pos, axis=1)
 
-        if int8:
+        if int8 and residual:
+            def local_search(q, xq, scales, valid, x_sq, x_lo):
+                d, i = topk_ops.int8_oversample_search(
+                    q, xq, scales, valid, x_sq, x_lo,
+                    metric=metric, k=k, oversample=over,
+                )
+                return merge(d, i, q)
+
+            in_specs = (
+                P(None, None), P(SHARD_AXIS, None), P(SHARD_AXIS),
+                P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS, None),
+            )
+        elif int8:
             def local_search(q, xq, scales, valid, x_sq):
                 d, i = topk_ops.int8_oversample_search(
                     q, xq, scales, valid, x_sq, None,
@@ -331,7 +367,12 @@ class ShardedFlatIndex(Index):
         if self.metric == "cosine":
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = queries / np.maximum(norms, 1e-30)
-        if self.storage_dtype == "int8":
+        if self.storage_dtype == "int8x2":
+            d, i = self._search_fn(
+                jnp.asarray(queries), self._dx, self._dscales,
+                self._dvalid, self._dx_sq, self._dx_lo,
+            )
+        elif self.storage_dtype == "int8":
             d, i = self._search_fn(
                 jnp.asarray(queries), self._dx, self._dscales,
                 self._dvalid, self._dx_sq,
@@ -355,7 +396,7 @@ class ShardedFlatIndex(Index):
 
     # -------------------------------------------------------------- snapshot
 
-    _STORAGE_CODES = {"float32": 0, "int8": 2}
+    _STORAGE_CODES = {"float32": 0, "int8": 2, "int8x2": 3}
 
     def state_arrays(self) -> dict[str, np.ndarray]:
         return {

@@ -73,14 +73,13 @@ class EmbeddingHub:
                 dims, metric=metric,
                 storage_dtype=self._QUANTIZED[self.engine],
             )
-        if self.engine in ("sharded", "sharded-int8"):
+        if self.engine in ("sharded", "sharded-int8", "sharded-int8x2"):
             from embeddinghub_tpu.parallel.sharded_flat import ShardedFlatIndex
 
+            sd = {"sharded": "float32", "sharded-int8": "int8",
+                  "sharded-int8x2": "int8x2"}[self.engine]
             return ShardedFlatIndex(
-                dims, metric=metric, mesh=self.mesh,
-                storage_dtype=(
-                    "int8" if self.engine == "sharded-int8" else "float32"
-                ),
+                dims, metric=metric, mesh=self.mesh, storage_dtype=sd,
             )
         if self.engine == "hnsw":
             from embeddinghub_tpu.index.hnsw import HNSWIndex

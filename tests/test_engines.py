@@ -10,7 +10,7 @@ from embeddinghub_tpu.store import EmbeddingHub
 @pytest.mark.parametrize(
     "engine",
     ["flat", "flat-bf16", "flat-int8", "flat-int8x2", "sharded",
-     "sharded-int8", "hnsw", "hnsw-sharded"],
+     "sharded-int8", "sharded-int8x2", "hnsw", "hnsw-sharded"],
 )
 def test_engine_end_to_end(engine, rng):
     hub = EmbeddingHub.in_memory(engine=engine)

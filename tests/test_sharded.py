@@ -188,3 +188,44 @@ def test_sharded_int8_matches_f32_ranking(rng, mesh):
     _, i = q8.search(nv[:4] + 1e-5, 1)
     assert not q8._dirty_rows  # the sync drained via the scatter path
     assert (i[:, 0] == np.arange(4)).all()
+
+
+def test_sharded_int8x2_residual_rerank(rng, mesh):
+    """int8x2 on the mesh: the residual plane resolves near-duplicate
+    clusters whose score gaps sit below int8 noise (single-chip analog:
+    tests/test_flat_index.py)."""
+    d, per, n_c = 32, 200, 10
+    centers = 3.0 * rng.standard_normal((n_c, d)).astype(np.float32)
+    x = np.repeat(centers, per, axis=0) + 0.2 * rng.standard_normal(
+        (n_c * per, d)
+    ).astype(np.float32)
+    n = len(x)
+    q = centers[np.arange(16) % n_c] + 0.2 * rng.standard_normal(
+        (16, d)
+    ).astype(np.float32)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    oracle = np.argsort(-(qn @ xn.T), axis=1)[:, :10]
+
+    def recall(storage):
+        idx = ShardedFlatIndex(
+            d, metric="cosine", mesh=mesh, capacity=n,
+            storage_dtype=storage,
+        )
+        idx.add(np.arange(n), x)
+        _, got = idx.search(q, 10)
+        return np.mean(
+            [len(set(got[i]) & set(oracle[i])) / 10 for i in range(len(q))]
+        )
+
+    r8 = recall("int8")
+    r8x2 = recall("int8x2")
+    assert r8x2 >= 0.9, (r8, r8x2)
+    assert r8x2 >= r8, (r8, r8x2)
+    # snapshot keeps the dtype
+    idx = ShardedFlatIndex(d, mesh=mesh, capacity=n,
+                           storage_dtype="int8x2")
+    idx.add(np.arange(256), rng.standard_normal((256, d)).astype(np.float32))
+    arrays = idx.state_arrays()
+    idx2 = ShardedFlatIndex.from_state(d, "l2", arrays, mesh=mesh)
+    assert idx2.storage_dtype == "int8x2"
