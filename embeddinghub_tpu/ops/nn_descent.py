@@ -163,29 +163,38 @@ def heuristic_prune(
         else:
             pair = 1.0 - pr
 
-        order = jnp.argsort(d_q, axis=1)
+        # Slot-loop formulation of hnswlib's greedy heuristic: instead of
+        # scanning all K candidates (K fori_loop steps), fill the m_keep
+        # slots one at a time — each step accepts the nearest candidate
+        # not (strictly) dominated by an already-kept one, then marks
+        # everything the new element dominates.  The accepted set is
+        # IDENTICAL to the candidate-scan greedy (a candidate dominated
+        # by a kept element stays dominated forever; an undominated one
+        # is accepted exactly when every nearer candidate is either kept
+        # or dominated — which is when it becomes the masked argmin).
+        # K=256, m_keep=32 -> 8x fewer sequential loop steps; the loop
+        # is the device-time hot spot of the bulk build's selection.
         kept = jnp.zeros((b, cand_k), bool)
+        dominated = jnp.zeros((b, cand_k), bool)
 
-        def body(i, kept):
-            ci = order[:, i]                           # candidate position
-            d_ci = jnp.take_along_axis(d_q, ci[:, None], axis=1)[:, 0]
-            pair_ci = jnp.take_along_axis(
-                pair, ci[:, None, None], axis=1
-            )[:, 0, :]                                  # [B, K]
-            masked = jnp.where(kept, pair_ci, INF)
-            closest_kept = jnp.min(masked, axis=1)
-            n_kept = jnp.sum(kept, axis=1)
-            ok = (
-                jnp.isfinite(d_ci)
-                & (n_kept < m_keep)
-                & ((closest_kept >= d_ci) | (n_kept == 0))
-            )
+        def body(_, state):
+            kept, dominated = state
+            avail = ~kept & ~dominated & jnp.isfinite(d_q)
+            dm = jnp.where(avail, d_q, INF)
+            ci = jnp.argmin(dm, axis=1)                 # [B]
+            ok = jnp.isfinite(jnp.min(dm, axis=1))
             onehot = (
                 jnp.arange(cand_k)[None, :] == ci[:, None]
             ) & ok[:, None]
-            return kept | onehot
+            pair_ci = jnp.take_along_axis(
+                pair, ci[:, None, None], axis=1
+            )[:, 0, :]                                  # [B, K]
+            newly_dom = (pair_ci < d_q) & ok[:, None]
+            return kept | onehot, dominated | newly_dom
 
-        kept = jax.lax.fori_loop(0, cand_k, body, kept)
+        kept, _ = jax.lax.fori_loop(
+            0, m_keep, body, (kept, dominated)
+        )
         keep_d = jnp.where(kept, d_q, INF)
         nd, pos = jax.lax.top_k(-keep_d, m_keep)
         out = jnp.take_along_axis(cand, pos, axis=1)

@@ -247,3 +247,47 @@ def test_quantized_chunked_recall(rng, metric, dtype):
         np.asarray(dist)[np.asarray(dist) < np.inf],
         **tol,
     )
+
+
+def test_heuristic_prune_matches_scan_greedy(rng):
+    """The slot-loop heuristic (argmin over undominated per kept slot)
+    must accept EXACTLY the same set as hnswlib's candidate-scan greedy
+    (scan nearest-first, keep c iff d(c,q) < d(c,s) for every kept s)."""
+    from embeddinghub_tpu.ops import nn_descent as nnd
+
+    n, d, b, ck, mk = 600, 16, 64, 48, 8
+    # small-integer vectors: every distance is an exact small integer in
+    # f32 AND bf16, so the jax kernel's (bf16-truncating) matmuls agree
+    # bit-for-bit with the numpy reference — the comparison tests the
+    # ALGORITHM, not matmul rounding (ties break by pool position in
+    # both: stable distance sort vs argmin-lowest-index)
+    x = rng.integers(-4, 5, size=(n, d)).astype(np.float32)
+    xd = jnp.asarray(x)
+    xsq = jnp.einsum("nd,nd->n", xd, xd)
+    pools = np.stack([
+        rng.choice(n, ck, replace=False).astype(np.int32) for _ in range(b)
+    ])
+    # sprinkle -1 padding
+    pools[rng.random((b, ck)) < 0.15] = -1
+    q = x[:b]
+
+    got = np.asarray(nnd.heuristic_prune(
+        xd, xsq, jnp.asarray(pools), m_keep=mk, metric="l2", cand_k=ck,
+        q=jnp.asarray(q), q_sq=jnp.einsum("bd,bd->b", q, q),
+    ))
+
+    def scan_greedy(cand, qv):
+        cand = [c for c in cand if c >= 0]
+        dq = {c: float(((x[c] - qv) ** 2).sum()) for c in cand}
+        kept = []
+        for c in sorted(cand, key=lambda c: dq[c]):
+            if len(kept) >= mk:
+                break
+            if all(((x[c] - x[s]) ** 2).sum() >= dq[c] for s in kept):
+                kept.append(c)
+        return set(kept)
+
+    for i in range(b):
+        want = scan_greedy(pools[i].tolist(), q[i])
+        have = set(int(v) for v in got[i] if v >= 0)
+        assert have == want, (i, sorted(have), sorted(want))
