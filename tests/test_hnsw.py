@@ -245,3 +245,45 @@ def test_refine_repairs_streamed_graph(rng):
         [len(set(got2[i]) & set(oracle[i])) / 10 for i in range(len(q))]
     )
     assert rec2 >= after - 0.02, (after, rec2)
+
+
+def test_graph_churn_and_refine_repair(rng):
+    """Heavy update churn (the reference's re-addPoint path) must not
+    rot the graph below a usable bar, and refine() restores full-data
+    link quality afterwards."""
+    n, d = 3072, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HNSWIndex(d, m=8, ef_construction=48, capacity=n)
+    idx.add(np.arange(n), x)
+
+    # churn: 6 rounds of remove + re-add with moved vectors + updates
+    for r in range(6):
+        victims = rng.choice(n, 128, replace=False)
+        idx.remove(victims[:64])
+        x[victims[:64]] = rng.standard_normal((64, d)).astype(np.float32)
+        idx.add(victims[:64], x[victims[:64]])  # re-insert moved rows
+        x[victims[64:]] += 0.1 * rng.standard_normal((64, d)).astype(
+            np.float32
+        )
+        idx.add(victims[64:], x[victims[64:]])  # in-place updates
+
+    q = rng.standard_normal((48, d)).astype(np.float32)
+    dd = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    oracle = np.argsort(dd, axis=1)[:, :10]
+
+    def recall():
+        _, got = idx.search(q, 10, ef=64)
+        return np.mean(
+            [len(set(got[i]) & set(oracle[i])) / 10 for i in range(len(q))]
+        )
+
+    churned = recall()
+    assert churned >= 0.85, churned
+    idx.refine()
+    repaired = recall()
+    assert repaired >= churned - 0.02, (churned, repaired)
+    assert repaired >= 0.9, (churned, repaired)
+    # every stored vector still retrievable exactly
+    probe = rng.choice(n, 64, replace=False)
+    _, i1 = idx.search(x[probe] + 1e-5, 1, ef=64)
+    assert (i1[:, 0] == probe).mean() >= 0.95
