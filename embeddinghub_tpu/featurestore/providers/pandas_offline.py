@@ -138,10 +138,8 @@ class PandasOfflineStore(base.OfflineStore):
                     )
             finally:
                 con.close()
-            if out.empty:
-                raise fferr.InvalidResourceError(
-                    "sql transformation produced no rows"
-                )
+            # empty results are legal (a filter may match nothing) —
+            # the sqlite engine's CREATE TABLE AS accepts them too
             self._put(_safe("src", name, variant), out)
         elif "df" in transformation:
             fn = transformation["df"]
@@ -188,25 +186,29 @@ class PandasOfflineStore(base.OfflineStore):
             *label["source"],
         )
         out = []
-        feat_frames = [
-            (f, self._get(_safe("src", f["source"][0], f["source"][1]),
-                          *f["source"]))
-            for f in features
-        ]
+        # Pre-group each feature frame by (stringified) entity once —
+        # the per-label-row scan was O(labels x features x rows) with a
+        # full-column astype per lookup
+        feat_groups = []
+        for f in features:
+            fdf = self._get(
+                _safe("src", f["source"][0], f["source"][1]), *f["source"]
+            )
+            ecol, tcol = f["entity_column"], f.get("timestamp_column") or ""
+            if tcol and tcol in fdf.columns:
+                fdf = fdf.sort_values(tcol, kind="stable")
+            groups = dict(tuple(fdf.groupby(fdf[ecol].astype(str), sort=False)))
+            feat_groups.append((f, groups, tcol if tcol in fdf.columns else ""))
         for lr in lab.to_dict(orient="records"):
             entity = str(lr[label["entity_column"]])
             lab_ts = lr.get(label.get("timestamp_column") or "", None)
             fvals = []
-            for f, fdf in feat_frames:
-                ecol, vcol = f["entity_column"], f["value_column"]
-                tcol = f.get("timestamp_column") or ""
-                rows = fdf[fdf[ecol].astype(str) == entity]
-                if tcol and tcol in fdf.columns and lab_ts is not None:
+            for f, groups, tcol in feat_groups:
+                rows = groups.get(entity)
+                if rows is not None and tcol and lab_ts is not None:
                     rows = rows[rows[tcol] <= lab_ts]  # no future features
-                if len(rows):
-                    if tcol and tcol in fdf.columns:
-                        rows = rows.sort_values(tcol, kind="stable")
-                    fvals.append(rows.iloc[-1][vcol])
+                if rows is not None and len(rows):
+                    fvals.append(rows.iloc[-1][f["value_column"]])
                 else:
                     fvals.append(None)
             out.append({

@@ -53,3 +53,21 @@ def next_pow2(n: int, floor: int = 1) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def quantize_rows(x: np.ndarray, residual: bool = False):
+    """Per-row symmetric int8 quantization — THE scheme shared by every
+    quantized arena and the int8 query upload (``x ≈ scale·hi`` or, with
+    ``residual``, ``x ≈ scale·(hi + lo/254)`` — ~int15 resolution at
+    2 B/elem).  One definition so the full-upload, scatter and query
+    paths can never diverge.  Returns ``(hi int8, scales f32, lo
+    int8 | None)``."""
+    scales = np.maximum(
+        np.abs(x).max(axis=1) / 127.0, 1e-30
+    ).astype(np.float32)
+    hi = np.clip(np.round(x / scales[:, None]), -127, 127).astype(np.int8)
+    if not residual:
+        return hi, scales, None
+    resid = x / scales[:, None] - hi
+    lo = np.clip(np.round(resid * 254.0), -127, 127).astype(np.int8)
+    return hi, scales, lo

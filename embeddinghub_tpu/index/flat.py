@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from embeddinghub_tpu.index.base import Index, as_f32_matrix, next_pow2
+from embeddinghub_tpu.index.base import (
+    Index,
+    as_f32_matrix,
+    next_pow2,
+    quantize_rows,
+)
 from embeddinghub_tpu.ops import distance as dist_ops
 from embeddinghub_tpu.ops import topk as topk_ops
 
@@ -72,17 +77,15 @@ def _upload_queries(queries: np.ndarray, query_dtype: str | None) -> jax.Array:
     use).  The search ops upcast to f32 on device, so any of these feeds
     every scoring path unchanged."""
     if query_dtype == "int8":
-        scales = np.maximum(
-            np.abs(queries).max(axis=1) / 127.0, 1e-30
-        ).astype(np.float32)
-        qi8 = np.clip(
-            np.round(queries / scales[:, None]), -127, 127
-        ).astype(np.int8)
+        qi8, scales, _ = quantize_rows(queries)
         return _dequant_queries(jnp.asarray(qi8), jnp.asarray(scales))
     if query_dtype == "bfloat16":
         import ml_dtypes
 
         return jnp.asarray(queries.astype(ml_dtypes.bfloat16))
+    if query_dtype is not None and query_dtype != "float32":
+        # a typo ("bf16", "float16") must not silently 4x the upload
+        raise ValueError(f"unknown query_dtype {query_dtype!r}")
     return jnp.asarray(queries)
 
 
@@ -204,20 +207,11 @@ class FlatIndex(Index):
                         "nd,nd->n", blk, blk, dtype=np.float32
                     )
                     if int8:
-                        sc = np.maximum(
-                            np.abs(blk).max(axis=1) / 127.0, 1e-30
-                        ).astype(np.float32)
+                        hi, sc, lo = quantize_rows(blk, residual=residual)
                         scales[s:e] = sc
-                        hi = np.clip(
-                            np.round(blk / sc[:, None]), -127, 127
-                        ).astype(np.int8)
                         xq[s:e] = hi
                         if residual:
-                            # x ≈ sc·(hi + lo/254): |resid/sc| ≤ 0.5
-                            resid = blk / sc[:, None] - hi
-                            xlo[s:e] = np.clip(
-                                np.round(resid * 254.0), -127, 127
-                            ).astype(np.int8)
+                            xlo[s:e] = lo
                     else:
                         xq[s:e] = blk.astype(ml_dtypes.bfloat16)
                 self._dx = jax.device_put(xq, self._device)
@@ -250,20 +244,13 @@ class FlatIndex(Index):
         valid_bits = self._hvalid[rows]
         if self.storage_dtype in ("int8", "int8x2"):
             # int8 scatter: re-quantize the touched rows host-side
-            scales = np.maximum(
-                np.abs(vecs).max(axis=1) / 127.0, 1e-30
-            ).astype(np.float32)
-            qrows = np.clip(np.round(vecs / scales[:, None]), -127, 127).astype(
-                np.int8
+            qrows, scales, lorows = quantize_rows(
+                vecs, residual=self.storage_dtype == "int8x2"
             )
             self._dscales = self._dscales.at[jnp.asarray(rows)].set(
                 jnp.asarray(scales)
             )
             if self.storage_dtype == "int8x2":
-                resid = vecs / scales[:, None] - qrows
-                lorows = np.clip(np.round(resid * 254.0), -127, 127).astype(
-                    np.int8
-                )
                 self._dx_lo = self._dx_lo.at[jnp.asarray(rows)].set(
                     jnp.asarray(lorows)
                 )

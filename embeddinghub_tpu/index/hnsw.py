@@ -292,6 +292,12 @@ class HNSWIndex(Index):
             bw = next_pow2(w, floor=256 if w > 64 else 8)
             qv = np.zeros((bw, self.dims), np.float32)
             qv[:w] = self._prep(self._hx[grp].astype(np.float32))
+            # padding rows REPEAT row 0 (same rule as wave_insert):
+            # their scatter slots duplicate grp[0], and duplicate writes
+            # are only safe when every copy carries the identical
+            # payload — zero-vector pads selected zero-query garbage
+            # links and clobbered grp[0] on ragged tail groups
+            qv[w:] = qv[0]
             qd = jnp.asarray(qv)
             ids_b = topk_ops.pooled_topk_ids(
                 qd, xd, validd, xsqd,

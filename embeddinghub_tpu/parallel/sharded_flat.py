@@ -28,7 +28,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from embeddinghub_tpu.index.base import Index, as_f32_matrix, next_pow2
+from embeddinghub_tpu.index.base import (
+    Index,
+    as_f32_matrix,
+    next_pow2,
+    quantize_rows,
+)
 from embeddinghub_tpu.index.flat import _bucket
 from embeddinghub_tpu.ops import distance as dist_ops
 from embeddinghub_tpu.ops import topk as topk_ops
@@ -184,21 +189,14 @@ class ShardedFlatIndex(Index):
         if self.storage_dtype in ("int8", "int8x2"):
             # quantize on the HOST and ship int8 (quarter the upload
             # bytes — the wire is the bottleneck, like FlatIndex._sync)
-            scales = np.maximum(
-                np.abs(x).max(axis=1) / 127.0, 1e-30
-            ).astype(np.float32)
-            hi = np.clip(
-                np.round(x / scales[:, None]), -127, 127
-            ).astype(np.int8)
+            hi, scales, lo = quantize_rows(
+                x, residual=self.storage_dtype == "int8x2"
+            )
             self._dx = jax.device_put(self._shard_major(hi), row_sharding)
             self._dscales = jax.device_put(
                 self._shard_major(scales), row_sharding
             )
             if self.storage_dtype == "int8x2":
-                resid = x / scales[:, None] - hi
-                lo = np.clip(
-                    np.round(resid * 254.0), -127, 127
-                ).astype(np.int8)
                 self._dx_lo = jax.device_put(
                     self._shard_major(lo), row_sharding
                 )
@@ -230,17 +228,10 @@ class ShardedFlatIndex(Index):
         dev_rows = (rows % s) * capl + rows // s
         valid_bits = self._hvalid[rows]
         if self.storage_dtype in ("int8", "int8x2"):
-            scales = np.maximum(
-                np.abs(vecs).max(axis=1) / 127.0, 1e-30
-            ).astype(np.float32)
-            qrows = np.clip(
-                np.round(vecs / scales[:, None]), -127, 127
-            ).astype(np.int8)
+            qrows, scales, lorows = quantize_rows(
+                vecs, residual=self.storage_dtype == "int8x2"
+            )
             if self.storage_dtype == "int8x2":
-                resid = vecs / scales[:, None] - qrows
-                lorows = np.clip(
-                    np.round(resid * 254.0), -127, 127
-                ).astype(np.int8)
                 self._dx_lo = self._dx_lo.at[
                     jnp.asarray(dev_rows.astype(np.int32))
                 ].set(jnp.asarray(lorows))
@@ -298,12 +289,24 @@ class ShardedFlatIndex(Index):
             nd, pos = jax.lax.top_k(-dd, k)
             return -nd, jnp.take_along_axis(ii, pos, axis=1)
 
+        # Deep shards (>2M rows) must not materialize the one-shot
+        # [B, cap_local] score matrix — stream the quantized scan in
+        # chunks exactly like FlatIndex does past 2^21 rows
+        deep = self._cap_local > (1 << 21)
+        qchunk = min(self._cap_local, 1 << 18)
+
         if int8 and residual:
             def local_search(q, xq, scales, valid, x_sq, x_lo):
-                d, i = topk_ops.int8_oversample_search(
-                    q, xq, scales, valid, x_sq, x_lo,
-                    metric=metric, k=k, oversample=over,
-                )
+                if deep:
+                    d, i = topk_ops.quantized_chunked_search(
+                        q, xq, scales, valid, x_sq, x_lo,
+                        metric=metric, k=k, oversample=over, chunk=qchunk,
+                    )
+                else:
+                    d, i = topk_ops.int8_oversample_search(
+                        q, xq, scales, valid, x_sq, x_lo,
+                        metric=metric, k=k, oversample=over,
+                    )
                 return merge(d, i, q)
 
             in_specs = (
@@ -312,10 +315,16 @@ class ShardedFlatIndex(Index):
             )
         elif int8:
             def local_search(q, xq, scales, valid, x_sq):
-                d, i = topk_ops.int8_oversample_search(
-                    q, xq, scales, valid, x_sq, None,
-                    metric=metric, k=k, oversample=over,
-                )
+                if deep:
+                    d, i = topk_ops.quantized_chunked_search(
+                        q, xq, scales, valid, x_sq, None,
+                        metric=metric, k=k, oversample=over, chunk=qchunk,
+                    )
+                else:
+                    d, i = topk_ops.int8_oversample_search(
+                        q, xq, scales, valid, x_sq, None,
+                        metric=metric, k=k, oversample=over,
+                    )
                 return merge(d, i, q)
 
             in_specs = (

@@ -160,6 +160,11 @@ class ShardedHNSWIndex(Index):
             if us.shape[0]:
                 ustack[j, : us.shape[0], : us.shape[1], : us.shape[2]] = us
             entry[j] = max(self._shards[j]._entry, 0)
+            # release the shard's UNSHARDED device copy: it lives on the
+            # default device, so keeping it alongside the stacked slabs
+            # would park ~the whole index twice on chip 0 at scale
+            self._shards[j]._sync_host()
+            self._shards[j]._invalidate_device()
 
         shard1 = NamedSharding(self.mesh, P(SHARD_AXIS))
         self._stacked = {
