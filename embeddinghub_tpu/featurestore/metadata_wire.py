@@ -452,10 +452,6 @@ class MetadataWireService(MetadataServicer):
                 res = self.store.maybe_get(
                     ResourceID(rtype, nv.name, nv.variant or "default")
                 )
-                if res is None and nv.variant:
-                    res = self.store.maybe_get(
-                        ResourceID(rtype, nv.name, nv.variant)
-                    )
                 if res is None:
                     context.abort(
                         grpc.StatusCode.NOT_FOUND,

@@ -215,6 +215,10 @@ class RedisVectorTable(base.VectorStoreTable):
             self._idx,
             f"*=>[KNN $K @{self._field} $BLOB]",
             "SORTBY", f"__{self._field}_score",
+            # RediSearch defaults to LIMIT 0 10: without an explicit
+            # LIMIT any k > 10 silently truncates (reference passes
+            # Limit(0, k), redis.go:480-493)
+            "LIMIT", "0", str(int(k)),
             "PARAMS", "4",
             "K", str(int(k)),
             "BLOB", _vector_bytes(vector),

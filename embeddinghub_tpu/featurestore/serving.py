@@ -303,8 +303,13 @@ def _compile_on_demand(source: str):
     import textwrap
 
     lines = textwrap.dedent(source).splitlines()
-    while lines and lines[0].lstrip().startswith("@"):
-        lines.pop(0)  # registration decorators aren't defined server-side
+    # registration decorators aren't defined server-side; they may span
+    # multiple lines ("@register_ondemand_feature(\n  name=...,\n)"), so
+    # drop everything before the first top-level def/async def
+    for j, ln in enumerate(lines):
+        if ln.startswith("def ") or ln.startswith("async def "):
+            lines = lines[j:]
+            break
     ns: dict = {}
     exec(compile("\n".join(lines), "<on_demand_feature>", "exec"), ns)  # noqa: S102
     fns = [v for v in ns.values() if callable(v) and not isinstance(v, type)]

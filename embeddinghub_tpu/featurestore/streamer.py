@@ -107,17 +107,21 @@ class StreamerService:
                 req.get("value_column", "value"),
                 req.get("timestamp_column", ""),
             )
+            import itertools
+
             rows = [
                 {"entity": e, "value": v}
-                for e, v in list(mat.rows())[:limit]
+                for e, v in itertools.islice(mat.rows(), limit)
             ]
         elif kind == "training_set":
+            import itertools
+
             rows = [
                 {"features": json.dumps(feats), "label": label}
-                for feats, label in self._offline.training_set_rows(
-                    name, variant
+                for feats, label in itertools.islice(
+                    self._offline.training_set_rows(name, variant), limit
                 )
-            ][:limit]
+            ]
         else:
             raise ValueError(f"unknown ticket kind: {kind!r}")
 

@@ -433,8 +433,10 @@ class FlatIndex(Index):
                 i[bad] = np.asarray(is_)[: bad.size]
         else:
             chunk = min(self._cap, self._chunk_target)
+            # honor query_dtype here too (narrow upload, op upcasts) —
+            # keeps this path bit-identical with search_async's fallback
             d, i = topk_ops.chunked_topk_search(
-                jnp.asarray(queries),
+                _upload_queries(queries, query_dtype),
                 self._dx,
                 self._dvalid,
                 self._dx_sq,
@@ -476,7 +478,27 @@ class FlatIndex(Index):
                 [queries, np.zeros((pb - b, self.dims), np.float32)]
             )
         q_dev = _upload_queries(queries, query_dtype)
-        if kk * 8 <= self._cap and jax.default_backend() != "cpu":
+        if self.storage_dtype in ("int8", "int8x2"):
+            # quantized arenas MUST score through the int8 kernels —
+            # the raw hi-plane fed to the f32 kernels (scales never
+            # applied) ranks garbage (measured recall 0.26 vs 1.0)
+            over = 16 if self.storage_dtype == "int8x2" else 8
+            if self._cap > (1 << 21):
+                _, i = topk_ops.quantized_chunked_search(
+                    q_dev, self._dx, self._dscales, self._dvalid,
+                    self._dx_sq, self._dx_lo,
+                    metric=self.metric, k=kk, oversample=over,
+                    chunk=min(self._cap,
+                              max(1 << 16, (1 << 28) // max(pb, 1))),
+                )
+            else:
+                _, i = topk_ops.int8_oversample_search(
+                    q_dev, self._dx, self._dscales, self._dvalid,
+                    self._dx_sq, self._dx_lo,
+                    metric=self.metric, k=kk,
+                    oversample=min(over, max(1, self._cap // max(kk, 1))),
+                )
+        elif kk * 8 <= self._cap and jax.default_backend() != "cpu":
             _, i = topk_ops.approx_oversample_search(
                 q_dev,
                 self._dx,
@@ -487,8 +509,11 @@ class FlatIndex(Index):
                 oversample=8,
             )
         else:
+            # reuse the already-uploaded narrow-dtype batch (the op
+            # upcasts internally) — a second jnp.asarray(queries) paid
+            # a redundant full-f32 upload on the wire-bound path
             _, i = topk_ops.chunked_topk_search(
-                jnp.asarray(queries),
+                q_dev,
                 self._dx,
                 self._dvalid,
                 self._dx_sq,

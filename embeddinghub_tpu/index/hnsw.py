@@ -192,14 +192,28 @@ class HNSWIndex(Index):
             # rows by removing + reinserting.
             for r in rows[updates]:
                 self._unlink(int(r))
-        self._hx[rows] = raw
-        self._hvalid[rows] = True
         self._size += int(np.count_nonzero(~updates))
-        self._dirty_vec.update(int(r) for r in rows)
 
         order = np.argsort(rows)  # deterministic
         pending = rows[order]
+        praw = raw[order]
         pvecs = prepped[order]
+
+        def commit_host(lo, hi, mark_dirty):
+            # Host arena/valid commit is PER WAVE, not up front: the
+            # fused wave kernel pools candidates against the pre-wave
+            # `valid` mask, and committing every pending row before the
+            # loop leaked future-wave rows (valid but link-less) into
+            # earlier waves' device arenas — siblings became candidates
+            # and reciprocal edges written onto future rows were later
+            # clobbered by their own forward commit.
+            w_rows = pending[lo:hi]
+            self._hx[w_rows] = praw[lo:hi]
+            self._hvalid[w_rows] = True
+            if mark_dirty:
+                # host-path waves rely on the delta flush for the
+                # device copy; the fused kernel scatters its own rows
+                self._dirty_vec.update(int(r) for r in w_rows)
 
         bulk_streamed = False
         if self._graph_size() == 0 and len(pending) >= 2048:
@@ -213,9 +227,12 @@ class HNSWIndex(Index):
             if base > self.exact_full_max:
                 base = self.stream_base
                 bulk_streamed = True
+            commit_host(0, base, mark_dirty=True)
             self._bulk_build(pending[:base], pvecs[:base])
             self._invalidate_device()
-            pending, pvecs = pending[base:], pvecs[base:]
+            pending, praw, pvecs = (
+                pending[base:], praw[base:], pvecs[base:]
+            )
             if len(pending) == 0:
                 return
 
@@ -228,7 +245,9 @@ class HNSWIndex(Index):
         while i < len(pending):
             built = max(self._graph_size(), 8)
             wave = min(len(pending) - i, max(8, built), self.max_wave)
-            if built > tiny:
+            fused = built > tiny
+            commit_host(i, i + wave, mark_dirty=not fused)
+            if fused:
                 # fused path: the whole wave commits in one device step
                 self._insert_wave_fused(
                     pending[i : i + wave], pvecs[i : i + wave]

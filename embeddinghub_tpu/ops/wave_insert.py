@@ -145,8 +145,11 @@ def _masked_scan_topk(q, x, mask, x_sq, *, kk, metric, chunk):
         return jnp.where(mc[None, :], s, -INF)
 
     if n_chunks == 1:
-        _, ci = jax.lax.approx_max_k(score_chunk(x, x_sq, mask), kk)
-        return ci
+        cv, ci = jax.lax.approx_max_k(score_chunk(x, x_sq, mask), kk)
+        # unfilled slots (masked rows / sparse layers) carry arbitrary
+        # indices — sparse upper layers would otherwise pool non-member
+        # rows as link candidates
+        return jnp.where(jnp.isfinite(cv), ci, -1)
 
     x_c = x.reshape(n_chunks, chunk, d)
     sq_c = x_sq.reshape(n_chunks, chunk)
@@ -222,14 +225,20 @@ def make_wave_commit(
 
         # the wave must never link to itself (pools came from the
         # pre-scatter mask, so this is belt-and-braces for update rows
-        # that were already valid in the arena)
+        # that were already valid in the arena), and NOTHING may link to
+        # the dump row (rows[0]): masked reciprocal edges rewrite it
+        # with its own pre-commit content in the same scatter that real
+        # edges would use, and duplicate-index scatter order is
+        # unspecified — a real in-edge for rows[0] could be dropped
+        dump = rows[0]
         for layer in pools:
             p = pools[layer]
-            self_hit = p == rows[:, None].astype(p.dtype)
-            pools[layer] = jnp.where(self_hit, -1, p)
+            bad = (p == rows[:, None].astype(p.dtype)) | (
+                p == dump.astype(p.dtype)
+            )
+            pools[layer] = jnp.where(bad, -1, p)
 
         # ---- 3. forward selection + commit, per layer ----
-        dump = rows[0]
         sels = {}
         for layer in range(0, L + 1):
             pool = pools[layer]
@@ -253,17 +262,23 @@ def make_wave_commit(
             if layer == 0:
                 pad = jnp.full((w, m0 - m), -1, jnp.int32)
                 payload = jnp.concatenate([sel, pad], axis=1)
-                # non-wave-valid rows must not lose their links: rewrite
-                # their current row (padding rows duplicate row 0 whose
-                # payload is consistent)
-                cur_rows = nb0[rows]
+                # Padding rows duplicate rows[0]; duplicate-index
+                # scatters are only deterministic when every copy
+                # carries the IDENTICAL payload, so padding slots write
+                # row 0's NEW payload (writing its stale cur_rows here
+                # let the stale copy win and near-orphaned one node per
+                # ragged wave)
                 payload = jnp.where(
-                    wave_valid[:, None], payload, cur_rows
+                    wave_valid[:, None], payload, payload[0][None, :]
                 )
                 nb0 = nb0.at[rows].set(payload)
             else:
                 cur_rows = upper[layer - 1][rows]
                 payload = jnp.where(member[:, None], sel, cur_rows)
+                # padding slots mirror row 0's payload (same rule)
+                payload = jnp.where(
+                    wave_valid[:, None], payload, payload[0][None, :]
+                )
                 upper = upper.at[layer - 1, rows].set(payload)
 
         # ---- 4. reciprocal commits, per layer ----
