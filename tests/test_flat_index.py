@@ -190,6 +190,27 @@ def test_search_async_pipelined(rng):
     assert (np.asarray(h) == -1).all()
 
 
+def test_search_async_quantized_storage(rng):
+    """Regression (r2 review): search_async on int8/int8x2 arenas must
+    route through the quantized kernels — feeding the raw int8 plane to
+    the f32 scorers ranked garbage (recall 0.26 vs 1.0)."""
+    n, d = 4096, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    oracle = np.argsort(-(qn @ xn.T), axis=1)[:, :10]
+    for storage in ("int8", "int8x2"):
+        idx = FlatIndex(dims=d, metric="cosine", storage_dtype=storage,
+                        capacity=n)
+        idx.add(np.arange(n), x)
+        got = np.asarray(idx.search_async(q, 10))
+        rec = np.mean(
+            [len(set(got[i]) & set(oracle[i])) / 10 for i in range(len(q))]
+        )
+        assert rec >= 0.95, (storage, rec)
+
+
 def test_int8_query_upload(rng):
     """query_dtype="int8" (quarter upload bytes: per-query scale,
     device-side dequant) keeps recall@10 within noise of full-precision
