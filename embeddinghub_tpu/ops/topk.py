@@ -153,9 +153,21 @@ def certified_topk_search(
     (measured 194-461 ms vs 1.8-4.3 ms at 1M x 128).
 
     ``exact_matmul=True`` scores in f32 HIGHEST (bit-exact
-    certificates); ``False`` scores bf16 and certifies against bf16
-    scores with a final f32 rerank — recall vs the f32 oracle is 1.0
-    minus bf16 boundary ties.
+    certificates).  ``False`` scores on the native bf16 MXU path
+    (~7x the f32-HIGHEST matmul rate) but certifies with an
+    *error-margin* count, so the guarantee is still exactness vs the
+    TRUE f32 scores: with ``t`` the k-th best exact candidate score
+    (from the f32 rerank) and ``eps(c) >= |s_bf16(c) - s_true(c)|`` a
+    rigorous per-column rounding bound, any column whose true score
+    beats ``t`` must show ``s_bf16 > t - eps`` — so if every such
+    column is already a candidate (``c_all == c_found``), no true
+    top-k element was missed.  The bound: bf16 round-to-nearest keeps
+    ``|v - bf16(v)| <= 2^-9 |v|``, products accumulate in f32, so
+    ``|dot_bf - dot| <= (2^-9(2 + 2^-9) + d 2^-24) ||q|| ||x||``;
+    doubled for the l2 score (``2*dot - x_sq``) and doubled again as a
+    safety factor.  Margin columns land in ranks k..4k on real data —
+    inside the KK-candidate pool — so the measured failure-rate stays
+    at the PartialReduce-collision floor (~0.6%).
 
     Replaces the reference hot loop (hnswlib searchKnn, index.cc:41-51)
     at guaranteed recall 1.0.
@@ -189,20 +201,9 @@ def certified_topk_search(
 
     s1 = scores(qc)
     cv, ci = jax.lax.approx_max_k(s1, kk)
-    t = cv[:, k - 1]
 
-    # Second pass re-derives the scores (optimization_barrier blocks CSE
-    # so XLA fuses the count into a fresh matmul epilogue instead of
-    # materializing the [B, N] score matrix for two consumers).
-    q2 = jax.lax.optimization_barrier(qc)
-    s2 = scores(q2)
-    finite_t = jnp.isfinite(t)
-    c_all = jnp.sum((s2 > t[:, None]).astype(jnp.int32), axis=1)
-    c_found = jnp.sum((cv > t[:, None]).astype(jnp.int32), axis=1)
-    row_ok = ~finite_t | (c_all == c_found)
-
-    # exact f32 rerank (needed for real distances; also fixes bf16
-    # candidate ordering when exact_matmul=False)
+    # exact f32 rerank (real distances; also fixes bf16 candidate
+    # ordering and supplies the exact threshold when exact_matmul=False)
     safe = jnp.maximum(ci, 0)
     cx = jnp.take(x, safe.reshape(-1), axis=0).reshape(b, kk, d)
     edots = jnp.einsum(
@@ -216,6 +217,41 @@ def certified_topk_search(
         escore = edots
     escore = jnp.where(jnp.isfinite(cv), escore, -INF)
     nv, pos = jax.lax.top_k(escore, k)
+
+    # Second pass re-derives the scores (optimization_barrier blocks CSE
+    # so XLA fuses the count into a fresh matmul epilogue instead of
+    # materializing the [B, N] score matrix for two consumers).
+    q2 = jax.lax.optimization_barrier(qc)
+    s2 = scores(q2)
+    if exact_matmul:
+        # bit-exact scores: threshold on the k-th candidate score, no
+        # margin needed
+        t = cv[:, k - 1]
+        c_all = jnp.sum((s2 > t[:, None]).astype(jnp.int32), axis=1)
+        c_found = jnp.sum((cv > t[:, None]).astype(jnp.int32), axis=1)
+    else:
+        # margin certificate vs TRUE scores: t is the k-th best EXACT
+        # candidate score; compare bf16 scores against t minus the
+        # per-column rounding bound eps = C * ||q|| * ||x_col||
+        t = nv[:, k - 1]
+        c_mul = 2.0 ** -6 if metric == "l2" else 2.0 ** -7  # incl. 2x safety
+        qn = jnp.sqrt(D.sqnorms(qc))
+        xn = jnp.sqrt(jnp.maximum(x_sq, 0.0))
+        # (s + eps > t) == (s > t - eps); the add fuses into the count
+        # epilogue without a second [B, N] intermediate
+        c_all = jnp.sum(
+            (s2 + (c_mul * qn)[:, None] * xn[None, :] > t[:, None]).astype(
+                jnp.int32
+            ),
+            axis=1,
+        )
+        cxn = jnp.take(xn, safe.reshape(-1)).reshape(b, kk)
+        c_found = jnp.sum(
+            (cv + (c_mul * qn)[:, None] * cxn > t[:, None]).astype(jnp.int32),
+            axis=1,
+        )
+    finite_t = jnp.isfinite(t)
+    row_ok = ~finite_t | (c_all == c_found)
     idx = jnp.take_along_axis(ci, pos, axis=1)
     if metric == "l2":
         dist = jnp.maximum(D.sqnorms(qc)[:, None] - nv, 0.0)

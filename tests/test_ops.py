@@ -168,6 +168,73 @@ def test_certified_topk_matches_bruteforce(rng, metric, exact_matmul):
     assert not np.isin(idx, np.flatnonzero(~valid)).any()
 
 
+def test_margin_certificate_sound_on_near_duplicates(rng):
+    """exact_matmul=False certifies vs TRUE f32 scores via an
+    eps-margin count.  On adversarial near-duplicate clusters (score
+    gaps below bf16 resolution) rows may FAIL the certificate — but a
+    row that passes must be exactly right."""
+    from embeddinghub_tpu.ops import certified_topk_search
+
+    n, d, b, k = 4096, 32, 32, 10
+    # 16 tight clusters: members differ by ~1e-4 << bf16 score noise
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+    x = (
+        centers[rng.integers(0, 16, n)]
+        + 1e-4 * rng.standard_normal((n, d)).astype(np.float32)
+    )
+    q = centers[rng.integers(0, 16, b)] + 1e-4 * rng.standard_normal(
+        (b, d)
+    ).astype(np.float32)
+    valid = np.ones(n, bool)
+    dist, idx, ok = certified_topk_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid),
+        sqnorms(jnp.asarray(x)), metric="l2", k=k, exact_matmul=False,
+    )
+    dist, idx, ok = np.asarray(dist), np.asarray(idx), np.asarray(ok)
+    ref = np_l2(q, x)
+    ref_sorted = np.sort(ref, axis=1)[:, :k]
+    for i in range(b):
+        if not ok[i]:
+            continue  # failing rows go to the exact re-scan — allowed
+        got = np.sort(ref[i, idx[i]])
+        # distance-set equality (tie-tolerant): the certified row's
+        # returned set must match the true top-k distances
+        np.testing.assert_allclose(got, ref_sorted[i], rtol=1e-5, atol=1e-6)
+
+
+def test_margin_eps_bound_holds(rng):
+    """The rounding bound underlying the margin certificate:
+    |s_bf16 - s_true| <= C * ||q|| * ||x_col|| with C = 2^-6 (l2,
+    incl. 2x safety).  Checked empirically on scaled gaussian data."""
+    n, d, b = 2048, 128, 64
+    x = (rng.standard_normal((n, d)) * rng.uniform(0.1, 10, (n, 1))).astype(
+        np.float32
+    )
+    q = (rng.standard_normal((b, d)) * rng.uniform(0.1, 10, (b, 1))).astype(
+        np.float32
+    )
+    dots_true = (q.astype(np.float64) @ x.T.astype(np.float64)).astype(
+        np.float64
+    )
+    import jax.lax
+
+    qb = jnp.asarray(q).astype(jnp.bfloat16)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    dots_bf = np.asarray(
+        jax.lax.dot_general(
+            qb, xb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(np.float64)
+    x_sq = (x.astype(np.float64) ** 2).sum(1)
+    s_true = 2 * dots_true - x_sq[None, :]
+    s_bf = 2 * dots_bf - x_sq[None, :]
+    qn = np.linalg.norm(q, axis=1)
+    xn = np.sqrt(x_sq)
+    eps = (2.0 ** -6) * qn[:, None] * xn[None, :]
+    assert (np.abs(s_bf - s_true) <= eps).all()
+
+
 def test_certified_topk_k_larger_than_live(rng):
     from embeddinghub_tpu.ops import certified_topk_search
 
