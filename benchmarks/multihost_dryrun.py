@@ -99,6 +99,55 @@ def worker(process_id: int, num_processes: int, local_devices: int, port: int):
     if process_id == 0:
         print(f"PASS multihost {num_processes}x{local_devices}: top-1 {got.tolist()}", flush=True)
 
+    # --- HBM shard snapshot / restore across the process boundary ---
+    # Each process persists ONLY its addressable shards (the real
+    # multi-host flow: one snapshot file per host, no cross-host
+    # gather — the RocksDB-replacement persistence of BASELINE config
+    # 5), then the global sharded arrays are reassembled from the
+    # per-host files and the same jitted search must return identical
+    # ids.
+    import tempfile
+
+    snap_dir = os.environ.get("EHTPU_DRYRUN_SNAPDIR")
+    if snap_dir is None:
+        snap_dir = os.path.join(tempfile.gettempdir(), "ehtpu_mh_snap")
+    os.makedirs(snap_dir, exist_ok=True)
+    for name, arr in (("x", xg), ("xsq", xsq), ("valid", valid)):
+        for sh in arr.addressable_shards:
+            start = sh.index[0].start or 0
+            np.save(
+                os.path.join(snap_dir, f"{name}.{start}.npy"),
+                np.asarray(sh.data),
+            )
+    # all hosts must finish writing before any host reassembles
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ehtpu_snapshot_written")
+
+    # restore: every process mmaps the per-offset files it owns
+    def _restore(name, shape, dtype):
+        def cb(idx):
+            start = idx[0].start or 0
+            return np.load(
+                os.path.join(snap_dir, f"{name}.{start}.npy"), mmap_mode="r"
+            )
+        return jax.make_array_from_callback(
+            shape, row_shard if len(shape) > 1 else
+            NamedSharding(mesh, P(SHARD_AXIS)), cb
+        )
+
+    xg2 = _restore("x", (cap, d), np.float32)
+    xsq2 = _restore("xsq", (cap,), np.float32)
+    valid2 = _restore("valid", (cap,), bool)
+    d2, i2 = fn(qd, xg2, valid2, xsq2)
+    assert (np.asarray(jax.device_get(i2)) == np.asarray(jax.device_get(idx))).all()
+    if process_id == 0:
+        print(
+            f"PASS multihost snapshot/restore: per-host shard files, "
+            f"identical search ids after reassembly",
+            flush=True,
+        )
+
     # --- sharded GRAPH engine across processes: every process builds
     # the identical per-shard graphs (deterministic seeds), the stacked
     # state is device_put onto the GLOBAL mesh (jax verifies the SPMD

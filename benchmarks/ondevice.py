@@ -94,6 +94,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--only", type=str, default="",
+                    help="substring filter on kernel names")
     args = ap.parse_args()
 
     import jax
@@ -176,9 +178,18 @@ def main():
     ))
 
     for kernel, fn, fargs, bytes_hbm, fl in runs:
+        if args.only and args.only not in kernel:
+            continue
         try:
             dt = device_seconds(fn, fargs[0], fargs[1:], args.reps)
-            rep(kernel, dt, bytes_hbm=bytes_hbm, flops=fl)
+            extra = None
+            if kernel.startswith("certified"):
+                # certificate failure rate: failed rows are re-answered
+                # by the exact re-scan, so the effective QPS is
+                # qps / (1 + fail_rate * scan_cost_ratio)
+                ok = np.asarray(fn(*fargs)[2])
+                extra = {"cert_fail_rate": round(float((~ok).mean()), 5)}
+            rep(kernel, dt, bytes_hbm=bytes_hbm, flops=fl, extra=extra)
         except Exception as e:  # noqa: BLE001 — per-kernel isolation
             print(json.dumps({"kernel": kernel, "backend": backend,
                               "error": str(e)[:200]}), flush=True)
