@@ -86,6 +86,34 @@ def load_data(args):
         train = sample_desc(args.n, rng)
         test = sample_desc(args.nq, np.random.default_rng(1))
         return train, test, None
+    if getattr(args, "glove_like", False):
+        # GloVe-*embedding*-statistics proxy (real glove-100-angular
+        # files are not obtainable in this zero-egress image): trained
+        # word embeddings are strongly anisotropic — variance
+        # concentrates in a few dozen principal directions with a
+        # power-law spectrum — and their norms spread log-normally with
+        # word frequency.  Sampled as x = (z * s) Q + mu with a
+        # power-law spectrum s_i ~ i^-0.55, a shared random rotation Q,
+        # a common mean offset (embeddings are famously non-centered),
+        # and a lognormal per-row norm factor; queried with the angular
+        # metric, exactly ann-benchmarks glove-100-angular's protocol.
+        dd = args.dims
+        spectrum = (np.arange(1, dd + 1) ** -0.55).astype(np.float32)
+        qmat, _ = np.linalg.qr(rng.standard_normal((dd, dd)))
+        qmat = qmat.astype(np.float32)
+        mu = (0.8 * rng.standard_normal(dd)).astype(np.float32)
+
+        def sample_glove(count, r):
+            z = r.standard_normal((count, dd)).astype(np.float32)
+            x = (z * spectrum[None, :]) @ qmat + mu[None, :]
+            x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+            return x * r.lognormal(1.4, 0.35, count)[:, None].astype(
+                np.float32
+            )
+
+        train = sample_glove(args.n, rng)
+        test = sample_glove(args.nq, np.random.default_rng(1))
+        return train.astype(np.float32), test.astype(np.float32), None
     if args.sift_like:
         # SIFT-style structure: hierarchical clusters with varying
         # spread + heavy-tailed magnitudes (local intrinsic dimension
@@ -155,6 +183,9 @@ def main():
     ap.add_argument("--sift-like", action="store_true", dest="sift_like")
     ap.add_argument("--sift-desc", action="store_true", dest="sift_desc",
                     help="SIFT-descriptor-statistics proxy (128-d uint8-style)")
+    ap.add_argument("--glove-like", action="store_true", dest="glove_like",
+                    help="GloVe-embedding-statistics proxy (anisotropic "
+                         "power-law spectrum, lognormal norms; angular)")
     args = ap.parse_args()
 
     train, test, gt = load_data(args)
