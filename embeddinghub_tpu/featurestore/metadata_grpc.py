@@ -153,7 +153,9 @@ def build_server(
     )
 
     register(MetadataWireService(metadata), server)
-    server.add_insecure_port(address)
+    from embeddinghub_tpu.utils.channels import add_server_port
+
+    add_server_port(server, address)
     return server
 
 

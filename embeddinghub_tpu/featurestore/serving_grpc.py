@@ -308,7 +308,9 @@ class FeatureService(pb_grpc.FeatureServicer):
 def build_server(address: str, serving: ServingClient) -> grpc.Server:
     server = grpc.server(cf.ThreadPoolExecutor(max_workers=32))
     pb_grpc.add_FeatureServicer_to_server(FeatureService(serving), server)
-    server.add_insecure_port(address)
+    from embeddinghub_tpu.utils.channels import add_server_port
+
+    add_server_port(server, address)
     return server
 
 

@@ -259,7 +259,9 @@ def build_server(
         health_pb2_grpc.add_HealthServicer_to_server(health.HealthServicer(), server)
     except ImportError:
         pass  # health service optional (reference enables it, server.cc:255)
-    server.add_insecure_port(address)
+    from embeddinghub_tpu.utils.channels import add_server_port
+
+    add_server_port(server, address)
     return server, service
 
 

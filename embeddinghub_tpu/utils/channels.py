@@ -39,3 +39,27 @@ def make_channel(
             root = f.read()
     creds = grpc.ssl_channel_credentials(root_certificates=root)
     return grpc.secure_channel(target, creds, options=_OPTIONS)
+
+
+def add_server_port(
+    server: grpc.Server,
+    address: str,
+    cert_path: str | None = None,
+    key_path: str | None = None,
+) -> int:
+    """Bind ``address`` on ``server``: TLS when a cert/key PEM pair is
+    provided (arguments or the EHTPU_SERVER_CERT / EHTPU_SERVER_KEY env
+    vars), plaintext otherwise.  The reference serves TLS through its
+    hosted ingress while local mode is insecure (server.cc:249-268,
+    api/main StartHttpsServer); here every server binds TLS directly
+    when configured."""
+    cert_path = cert_path or os.environ.get("EHTPU_SERVER_CERT")
+    key_path = key_path or os.environ.get("EHTPU_SERVER_KEY")
+    if not (cert_path and key_path):
+        return server.add_insecure_port(address)
+    with open(key_path, "rb") as f:
+        key = f.read()
+    with open(cert_path, "rb") as f:
+        crt = f.read()
+    creds = grpc.ssl_server_credentials(((key, crt),))
+    return server.add_secure_port(address, creds)
