@@ -153,6 +153,13 @@ def build_server(
     )
 
     register(MetadataWireService(metadata), server)
+    if coordinator is not None:
+        from embeddinghub_tpu.featurestore.tasks_wire import TasksWireService
+        from embeddinghub_tpu.featurestore.tasks_wire import (
+            register as register_tasks,
+        )
+
+        register_tasks(TasksWireService(coordinator.tasks), server)
     from embeddinghub_tpu.utils.channels import add_server_port
 
     add_server_port(server, address)
