@@ -46,6 +46,58 @@ _BATCH_BUCKETS = (1, 8, 64, 256, 1024)
 # instead of a scatter.
 _SCATTER_LIMIT = 0.25
 
+# Quantization-regime guard (see FlatIndex._quant_regime_check).
+_GUARD_MIN_ROWS = 4096
+_GUARD_SAMPLE = 16384
+_GUARD_QUERIES = 256
+_GUARD_K = 10
+_GUARD_RECALL = 0.95
+_ESCALATION = {"int8": "int8x2", "int8x2": "bfloat16"}
+
+_log = __import__("logging").getLogger("embeddinghub_tpu.index")
+
+
+def _simulate_quant_recall(
+    x: np.ndarray, x_sq: np.ndarray, metric: str, storage_dtype: str
+) -> float:
+    """Host-side dry run of the two-phase quantized search on a sample:
+    phase-1 ranks by the int8 hi-plane score (queries int8-quantized like
+    the kernel does for the int32 MXU accumulate), pools ``k*oversample``
+    candidates, then reranks them against the dequantized rows (hi, or
+    hi+lo for int8x2).  Returns recall@k vs the exact f32 ranking on the
+    same sample.  This is exactly the failure mode RESULTS.md measured at
+    Deep-10M (clustered near-duplicates: true score gaps below int8
+    noise -> recall 0.44): if the *sample* ranking scrambles, the full
+    index will too."""
+    k = _GUARD_K
+    nq = min(_GUARD_QUERIES, x.shape[0])
+    q = x[:nq]
+    dots = q @ x.T
+    s_true = dots if metric == "cosine" else 2.0 * dots - x_sq[None, :]
+    true_top = np.argpartition(-s_true, k, axis=1)[:, :k]
+
+    residual = storage_dtype == "int8x2"
+    hi, sc, lo = quantize_rows(x, residual=residual)
+    qsc = np.maximum(np.abs(q).max(axis=1, keepdims=True) / 127.0, 1e-30)
+    qq = np.clip(np.round(q / qsc), -127, 127)
+    dots_hi = (qq @ hi.T.astype(np.float32)) * qsc * sc[None, :]
+    s1 = dots_hi if metric == "cosine" else 2.0 * dots_hi - x_sq[None, :]
+    kk = min(k * (16 if residual else 8), x.shape[0] - 1)
+    pool = np.argpartition(-s1, kk, axis=1)[:, :kk]
+
+    x_deq = hi.astype(np.float32)
+    if residual:
+        x_deq = x_deq + lo.astype(np.float32) / 254.0
+    x_deq *= sc[:, None]
+    hits = 0
+    for qi in range(nq):
+        cand = pool[qi]
+        d2 = q[qi] @ x_deq[cand].T
+        s2 = d2 if metric == "cosine" else 2.0 * d2 - x_sq[cand]
+        picked = cand[np.argsort(-s2)[:k]]
+        hits += np.intersect1d(picked, true_top[qi]).size
+    return hits / (nq * k)
+
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _scatter_rows(x, x_sq, valid, rows, vecs, vecs_sq):
@@ -89,6 +141,51 @@ def _upload_queries(queries: np.ndarray, query_dtype: str | None) -> jax.Array:
     return jnp.asarray(queries)
 
 
+def apply_quant_guard(idx) -> None:
+    """Guard against the quantization-resolution regime before a device
+    arena is (re)built.  Shared by :class:`FlatIndex` and
+    ``parallel.sharded_flat.ShardedFlatIndex`` (duck-typed over
+    ``_hx/_hvalid/_size/metric/storage_dtype/quant_guard/
+    _guard_checked_size``).  Cheap: a [256, 16k] host matmul per full
+    sync — full syncs only happen on capacity growth or >25% churn,
+    next to a multi-GB quantize+upload.  Escalation only ever narrows
+    the failure (int8 -> int8x2 -> bfloat16); it never de-escalates,
+    and it persists via the index's storage-dtype snapshot code."""
+    while (
+        idx.quant_guard
+        and idx.storage_dtype in ("int8", "int8x2")
+        and idx._size >= max(_GUARD_MIN_ROWS, 2 * idx._guard_checked_size)
+    ):
+        live = np.flatnonzero(idx._hvalid)
+        rng = np.random.default_rng(0xE17)
+        samp = rng.choice(
+            live, size=min(live.size, _GUARD_SAMPLE), replace=False
+        )
+        x = idx._hx[samp]
+        if idx.metric == "cosine":
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-30
+            )
+        x_sq = np.einsum("nd,nd->n", x, x, dtype=np.float32)
+        recall = _simulate_quant_recall(x, x_sq, idx.metric, idx.storage_dtype)
+        idx._guard_checked_size = idx._size
+        if recall >= _GUARD_RECALL:
+            return
+        nxt = _ESCALATION[idx.storage_dtype]
+        if nxt not in idx._STORAGE_CODES:
+            # the sharded arena has no bf16 plane — fall back to f32
+            nxt = "float32"
+        _log.warning(
+            "quant guard: %s ranking scores recall@%d %.3f < %.2f on a "
+            "%d-row sample (score gaps below quantization noise) — "
+            "escalating storage to %s",
+            idx.storage_dtype, _GUARD_K, recall, _GUARD_RECALL,
+            samp.size, nxt,
+        )
+        idx.storage_dtype = nxt
+        idx._guard_checked_size = 0  # re-check the escalated dtype
+
+
 class FlatIndex(Index):
     def __init__(
         self,
@@ -99,6 +196,7 @@ class FlatIndex(Index):
         compute_dtype: str = "float32",
         storage_dtype: str = "float32",
         device: jax.Device | None = None,
+        quant_guard: bool = True,
     ):
         """``storage_dtype``: "float32" (default), "bfloat16" (2x HBM
         capacity, ~62M 128-d rows/16GB chip), "int8" (4x, ~125M rows
@@ -107,7 +205,17 @@ class FlatIndex(Index):
         int8 residual lo ≈ int15 resolution — phase-1 scans hi only so
         the scan bandwidth matches "int8", while the hi+lo rerank
         resolves dense near-duplicate clusters whose score gaps sit
-        below int8 noise). The host arena always stays f32."""
+        below int8 noise). The host arena always stays f32.
+
+        ``quant_guard`` (default on): int8/int8x2 arenas are checked at
+        full-sync time against the quantization-resolution failure
+        regime (true top-k score gaps below quantization noise — e.g.
+        dense near-duplicate clusters, where raw int8 measured recall
+        0.44 at Deep-10M).  When the sampled two-phase recall falls
+        below 0.95 the storage dtype auto-escalates int8 -> int8x2 ->
+        bfloat16 with a logged notice, so a user picking
+        ``engine="flat-int8"`` on clustered data cannot silently get a
+        broken index."""
         if metric not in dist_ops.METRICS:
             raise ValueError(f"unknown metric {metric!r}")
         self.dims = int(dims)
@@ -128,6 +236,8 @@ class FlatIndex(Index):
         self._dvalid = None
         self._dirty_rows: set[int] = set()
         self._needs_full_sync = True
+        self.quant_guard = bool(quant_guard)
+        self._guard_checked_size = 0
 
     # ------------------------------------------------------------------ write
 
@@ -174,11 +284,15 @@ class FlatIndex(Index):
 
     # ------------------------------------------------------------------- sync
 
+    def _quant_regime_check(self) -> None:
+        apply_quant_guard(self)
+
     def _sync(self) -> None:
         # The host arena keeps *raw* vectors (get() must return exactly what
         # was set); metric preprocessing (cosine -> unit rows) happens here,
         # on the way to the device.
         if self._needs_full_sync or self._dx is None:
+            self._quant_regime_check()
             if self.storage_dtype in ("int8", "int8x2", "bfloat16"):
                 # Quantize on the HOST and ship the narrow dtype over the
                 # wire: the dev tunnel (~35 MB/s) is the bottleneck, so a

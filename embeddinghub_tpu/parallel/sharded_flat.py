@@ -69,6 +69,7 @@ class ShardedFlatIndex(Index):
         chunk_target: int = 16384,
         compute_dtype: str = "float32",
         storage_dtype: str = "float32",
+        quant_guard: bool = True,
     ):
         """``storage_dtype="int8"`` keeps each shard's arena quantized
         (per-row symmetric scales, int8 x int8 -> int32 MXU scoring with
@@ -105,6 +106,10 @@ class ShardedFlatIndex(Index):
         self._dirty_rows: set[int] = set()
         self._search_fn = None
         self._search_k = None
+        # quantization-regime guard (index/flat.apply_quant_guard):
+        # int8 -> int8x2 -> float32 when sampled recall collapses
+        self.quant_guard = bool(quant_guard)
+        self._guard_checked_size = 0
 
     # ------------------------------------------------------------ properties
 
@@ -181,6 +186,10 @@ class ShardedFlatIndex(Index):
         if not self._dirty:
             return
         self._dirty_rows.clear()
+        if self.storage_dtype in ("int8", "int8x2"):
+            from embeddinghub_tpu.index.flat import apply_quant_guard
+
+            apply_quant_guard(self)
         x = self._hx
         if self.metric == "cosine":
             norms = np.linalg.norm(x, axis=1, keepdims=True)
