@@ -19,6 +19,14 @@ class FFError(Exception):
         self.context.update(kv)
         return self
 
+    def grpc_code(self):
+        """The grpc.StatusCode this error maps to on the wire (the
+        reference's fferr errors carry a grpc status the interceptors
+        serialize, fferr/errors.go)."""
+        import grpc
+
+        return getattr(grpc.StatusCode, self.code, grpc.StatusCode.INTERNAL)
+
 
 # ---- resources / metadata
 

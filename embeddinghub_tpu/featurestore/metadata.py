@@ -48,7 +48,9 @@ class MetadataStore:
                     if existing.equiv_hash() == res.equiv_hash():
                         return False
                     raise fferr.ResourceChangedError(
-                        rid.type.value, rid.name, rid.variant
+                        rid.type.value, rid.name, rid.variant,
+                        diff="differing fields: "
+                        + ", ".join(existing.equiv_diff(res)),
                     )
                 # upsert mutable resource types
             res.status = (
@@ -68,8 +70,15 @@ class MetadataStore:
             res.status_error = error
             self._put_raw(res)
 
+    _STAGED = "staged-deletion/"
+
     def delete(self, rid: ResourceID) -> None:
-        """Two-phase delete (MarkForDeletion then Prune)."""
+        """Phase 1 of the two-phase delete (reference MarkForDeletion,
+        ``metadata.go:2429``): the resource leaves the live namespace
+        (gets/lists/dependency checks stop seeing it) but stays readable
+        under a staged key until :meth:`prune` — the reference's
+        DeletedOnly lookup that backs GetStagedForDeletionResource
+        (``metadata.go:2558``)."""
         with self._lock:
             res = self._must_get(rid)
             dependents = self.dependents(rid)
@@ -79,8 +88,24 @@ class MetadataStore:
                     + ", ".join(d.key() for d in dependents)
                 )
             res.status = Status.DELETING
-            self._put_raw(res)
+            self._kv.put(self._STAGED + rid.key(), res)
             self._kv.delete(rid.key())
+
+    def get_staged(self, rid: ResourceID) -> Resource:
+        """The staged-for-deletion copy (reference DeletedOnly lookup)."""
+        with self._lock:
+            res = self._kv.get(self._STAGED + rid.key())
+            if res is None:
+                raise fferr.ResourceNotFoundError(
+                    rid.type.value, rid.name, rid.variant or None
+                )
+            return res
+
+    def prune(self, rid: ResourceID) -> None:
+        """Phase 2: drop the staged copy (reference FinalizeDeletion /
+        PruneResource, ``metadata.go:2402``).  Idempotent."""
+        with self._lock:
+            self._kv.delete(self._STAGED + rid.key())
 
     # ------------------------------------------------------------------- read
 
@@ -106,19 +131,25 @@ class MetadataStore:
                 r
                 for r in self._kv.values()
                 if r.rtype == rtype and r.name == name
+                and r.status != Status.DELETING
             ]
 
     def dependents(self, rid: ResourceID) -> list[ResourceID]:
-        """Resources that list rid as a dependency."""
+        """Resources that list rid as a dependency (staged-for-deletion
+        rows no longer hold their dependencies)."""
         out = []
         for r in self._kv.values():
+            if r.status == Status.DELETING:
+                continue
             if any(d.key() == rid.key() for d in r.dependencies()):
                 out.append(r.rid())
         return out
 
     def all(self) -> list[Resource]:
         with self._lock:
-            return list(self._kv.values())
+            return [
+                r for r in self._kv.values() if r.status != Status.DELETING
+            ]
 
     # --------------------------------------------------------------- helpers
 

@@ -133,13 +133,14 @@ class MetadataService(pb_grpc.MetadataServicer):
 
 def build_server(
     address: str, metadata: MetadataStore, coordinator=None,
-    interceptors=None,
+    interceptors=None, serving=None,
 ) -> grpc.Server:
-    """One gRPC server hosting BOTH metadata surfaces: the compact
-    internal service and the reference-wire-parity typed service
-    (``featureform.serving.metadata.proto.Metadata``), the way the
+    """One gRPC server hosting the metadata surfaces: the compact
+    internal service, the reference-wire-parity typed service
+    (``featureform.serving.metadata.proto.Metadata``) — the way the
     reference metadata server hosts Metadata + Tasks together
-    (``metadata/metadata.go:1940``)."""
+    (``metadata/metadata.go:1940``) — and the reference ``Api`` gateway
+    surface incl. the WriteFeatures/WriteLabels streams (api/api.go)."""
     server = grpc.server(
         cf.ThreadPoolExecutor(max_workers=16),
         interceptors=interceptors or (),
@@ -153,6 +154,12 @@ def build_server(
     )
 
     register(MetadataWireService(metadata), server)
+    from embeddinghub_tpu.featurestore.api_wire import ApiWireService
+    from embeddinghub_tpu.featurestore.api_wire import (
+        register as register_api,
+    )
+
+    register_api(ApiWireService(metadata, serving=serving), server)
     if coordinator is not None:
         from embeddinghub_tpu.featurestore.tasks_wire import TasksWireService
         from embeddinghub_tpu.featurestore.tasks_wire import (

@@ -678,19 +678,56 @@ class MetadataWireService(MetadataServicer):
             context.abort(e.grpc_code(), str(e))
         return pb.MarkForDeletionResponse()
 
+    _VARIANT_FIELD = {
+        ResourceType.FEATURE_VARIANT: ("feature_variant", feature_variant_to_pb),
+        ResourceType.LABEL_VARIANT: ("label_variant", label_variant_to_pb),
+        ResourceType.SOURCE_VARIANT: ("source_variant", source_variant_to_pb),
+        ResourceType.TRAINING_SET_VARIANT: (
+            "training_set_variant", training_set_variant_to_pb,
+        ),
+    }
+
+    def GetStagedForDeletionResource(self, request, context):
+        """The staged (MarkForDeletion'd, not yet pruned) copy of a
+        resource variant — reference ``metadata.go:2558`` (DeletedOnly
+        lookup)."""
+        rid = request.resource_id
+        rtype = _PB_RTYPE.get(rid.resource_type)
+        if rtype not in self._VARIANT_FIELD:
+            context.abort(
+                grpc.StatusCode.INTERNAL,
+                f"resource type {rid.resource_type} is not deletable",
+            )
+        try:
+            res = self.store.get_staged(
+                ResourceID(rtype, rid.resource.name, rid.resource.variant)
+            )
+        except fferr.FFError as e:
+            context.abort(e.grpc_code(), str(e))
+        field, to_pb = self._VARIANT_FIELD[rtype]
+        rv = pb.ResourceVariant()
+        getattr(rv, field).CopyFrom(to_pb(res))
+        return pb.GetStagedForDeletionResourceResponse(resource_variant=rv)
+
     def FinalizeDeletion(self, request, context):
+        rid = request.resource_id
+        rtype = _PB_RTYPE.get(rid.resource_type)
+        if rtype is not None:
+            self.store.prune(
+                ResourceID(rtype, rid.resource.name, rid.resource.variant)
+            )
         return pb.FinalizeDeletionResponse()
 
     def PruneResource(self, request, context):
         rid = request.resource_id
         rtype = _PB_RTYPE.get(rid.resource_type)
         if rtype is not None:
+            res_id = ResourceID(rtype, rid.resource.name, rid.resource.variant)
             try:
-                self.store.delete(
-                    ResourceID(rtype, rid.resource.name, rid.resource.variant)
-                )
+                self.store.delete(res_id)
             except fferr.FFError:
                 pass  # already gone / never existed: prune is idempotent
+            self.store.prune(res_id)
         return pb.PruneResourceResponse()
 
 

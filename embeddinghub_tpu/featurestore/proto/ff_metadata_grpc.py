@@ -67,26 +67,55 @@ METHODS = {
 }
 
 
+# The reference's Api service (metadata.proto:72-118) shares the
+# Metadata method set minus the deletion-staging/status internals, and
+# adds the streaming write RPCs (api/api.go:1150).
+API_METHODS = {
+    name: spec
+    for name, spec in METHODS.items()
+    if name not in (
+        "FinalizeDeletion", "GetStagedForDeletionResource",
+        "SetResourceStatus",
+    )
+}
+API_METHODS.update({
+    "WriteFeatures": ("su", pb.StreamingFeatureVariant, pb.Empty),
+    "WriteLabels": ("su", pb.StreamingLabelVariant, pb.Empty),
+})
+
+
+def _make_stub(obj, channel, service: str, methods: dict) -> None:
+    for name, (kind, req, resp) in methods.items():
+        path = f"/{_PKG}.{service}/{name}"
+        factory = {
+            "uu": channel.unary_unary,
+            "us": channel.unary_stream,
+            "su": channel.stream_unary,
+            "ss": channel.stream_stream,
+        }[kind]
+        setattr(
+            obj,
+            name,
+            factory(
+                path,
+                request_serializer=req.SerializeToString,
+                response_deserializer=resp.FromString,
+            ),
+        )
+
+
 class MetadataStub:
     """Client stub, method-path compatible with the reference's."""
 
     def __init__(self, channel: grpc.Channel):
-        for name, (kind, req, resp) in METHODS.items():
-            path = f"/{_PKG}.Metadata/{name}"
-            factory = {
-                "uu": channel.unary_unary,
-                "us": channel.unary_stream,
-                "ss": channel.stream_stream,
-            }[kind]
-            setattr(
-                self,
-                name,
-                factory(
-                    path,
-                    request_serializer=req.SerializeToString,
-                    response_deserializer=resp.FromString,
-                ),
-            )
+        _make_stub(self, channel, "Metadata", METHODS)
+
+
+class ApiStub:
+    """Client stub for the reference's Api gateway service."""
+
+    def __init__(self, channel: grpc.Channel):
+        _make_stub(self, channel, "Api", API_METHODS)
 
 
 class MetadataServicer:
@@ -100,13 +129,14 @@ def _unimplemented(request, context):
     context.abort(grpc.StatusCode.UNIMPLEMENTED, "method not implemented")
 
 
-def add_MetadataServicer_to_server(servicer, server) -> None:
+def _add_servicer(servicer, server, service: str, methods: dict) -> None:
     handlers = {}
-    for name, (kind, req, resp) in METHODS.items():
+    for name, (kind, req, resp) in methods.items():
         fn = getattr(servicer, name, _unimplemented)
         maker = {
             "uu": grpc.unary_unary_rpc_method_handler,
             "us": grpc.unary_stream_rpc_method_handler,
+            "su": grpc.stream_unary_rpc_method_handler,
             "ss": grpc.stream_stream_rpc_method_handler,
         }[kind]
         handlers[name] = maker(
@@ -115,5 +145,13 @@ def add_MetadataServicer_to_server(servicer, server) -> None:
             response_serializer=resp.SerializeToString,
         )
     server.add_generic_rpc_handlers(
-        (grpc.method_handlers_generic_handler(f"{_PKG}.Metadata", handlers),)
+        (grpc.method_handlers_generic_handler(f"{_PKG}.{service}", handlers),)
     )
+
+
+def add_MetadataServicer_to_server(servicer, server) -> None:
+    _add_servicer(servicer, server, "Metadata", METHODS)
+
+
+def add_ApiServicer_to_server(servicer, server) -> None:
+    _add_servicer(servicer, server, "Api", API_METHODS)

@@ -140,6 +140,19 @@ class OfflineStore(Provider):
     def write_rows(self, name: str, variant: str, rows: list[dict]) -> None:
         raise NotImplementedError
 
+    def append_rows(self, name: str, variant: str, rows: list[dict]) -> None:
+        """Append to a source table (streaming writes — reference
+        ``offlineTable.Write``, api/api.go:1212-1219).  Default is
+        read-extend-rewrite; providers may override with a native
+        append."""
+        from embeddinghub_tpu.featurestore import fferr
+
+        try:
+            existing = list(self.table_rows(name, variant))
+        except fferr.FFError:
+            existing = []
+        self.write_rows(name, variant, existing + list(rows))
+
     # --- materialization
     def materialize(
         self,

@@ -101,6 +101,22 @@ class Resource:
         blob = json.dumps(self.definition(), sort_keys=True, default=str)
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
+    def equiv_diff(self, other: "Resource") -> list[str]:
+        """Names of canonical-definition fields that differ — the
+        reference's equivalence package reports *which* fields diverge
+        on a conflicting re-registration instead of a bare mismatch
+        (``metadata/equivalence/source_variant.go:337``)."""
+        a, b = self.definition(), other.definition()
+
+        def canon(v):
+            return json.dumps(v, sort_keys=True, default=str)
+
+        return sorted(
+            k
+            for k in set(a) | set(b)
+            if canon(a.get(k)) != canon(b.get(k))
+        )
+
     def needs_job(self) -> bool:
         """Whether creation schedules an orchestration task (the
         reference's needsJob wiring, metadata.go:169-199)."""

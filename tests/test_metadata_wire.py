@@ -60,9 +60,15 @@ def our_server():
         register,
     )
 
+    from embeddinghub_tpu.featurestore.api_wire import ApiWireService
+    from embeddinghub_tpu.featurestore.api_wire import (
+        register as register_api,
+    )
+
     store = MetadataStore()
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=8))
     register(MetadataWireService(store), server)
+    register_api(ApiWireService(store), server)
     port = server.add_insecure_port("127.0.0.1:0")
     server.start()
     yield f"127.0.0.1:{port}", store
@@ -310,3 +316,212 @@ def test_sql_transform_and_training_set_round_trip(ref_pb, our_server):
 
     stored = [r for r in store.all() if isinstance(r, SourceVariant)]
     assert stored, "source variants should be real dataclasses in the store"
+
+
+_API = "/featureform.serving.metadata.proto.Api"
+
+
+def _su(channel, name, pb_req, pb_resp):
+    return channel.stream_unary(
+        f"{_API}/{name}",
+        request_serializer=pb_req.SerializeToString,
+        response_deserializer=pb_resp.FromString,
+    )
+
+
+def _api_uu(channel, name, pb_req, pb_resp):
+    return channel.unary_unary(
+        f"{_API}/{name}",
+        request_serializer=pb_req.SerializeToString,
+        response_deserializer=pb_resp.FromString,
+    )
+
+
+def test_write_features_and_labels_via_reference_stub(ref_pb, our_server):
+    """WriteFeatures/WriteLabels streaming writes (reference
+    api/api.go:1150-1229): each record lands in the offline source
+    table AND (features) the online table."""
+    pb = ref_pb
+    addr, store = our_server
+    chan = grpc.insecure_channel(addr)
+
+    _uu(chan, "CreateProvider", pb.ProviderRequest, pb.Empty)(
+        pb.ProviderRequest(provider=pb.Provider(
+            name="online-mem", type="MEMORY_ONLINE", serialized_config=b"{}",
+        ))
+    )
+    _uu(chan, "CreateProvider", pb.ProviderRequest, pb.Empty)(
+        pb.ProviderRequest(provider=pb.Provider(
+            name="offline-pd", type="PANDAS_OFFLINE", serialized_config=b"{}",
+        ))
+    )
+    sv = pb.SourceVariant(
+        name="events", variant="s1", owner="alice", provider="offline-pd"
+    )
+    sv.primaryData.table.name = "events_raw"
+    _uu(chan, "CreateSourceVariant", pb.SourceVariantRequest, pb.Empty)(
+        pb.SourceVariantRequest(source_variant=sv)
+    )
+    fv = pb.FeatureVariant(
+        name="score", variant="s1", owner="alice", entity="user",
+        source=pb.NameVariant(name="events", variant="s1"),
+        provider="online-mem",
+    )
+    fv.columns.entity = "user"
+    fv.columns.value = "score"
+    fv.columns.ts = "ts"
+    fv.type.scalar = pb.ScalarType.INT64
+    _uu(chan, "CreateFeatureVariant", pb.FeatureVariantRequest, pb.Empty)(
+        pb.FeatureVariantRequest(feature_variant=fv)
+    )
+
+    recs = [
+        pb.StreamingFeatureVariant(
+            name="score", variant="s1", entity="u1", value="7"
+        ),
+        pb.StreamingFeatureVariant(
+            name="score", variant="s1", entity="u2", value="9"
+        ),
+        pb.StreamingFeatureVariant(
+            name="score", variant="s1", entity="u1", value="11"
+        ),
+    ]
+    _su(chan, "WriteFeatures", pb.StreamingFeatureVariant, pb.Empty)(
+        iter(recs)
+    )
+
+    # online: latest value per entity, typed per the variant
+    from embeddinghub_tpu.featurestore.providers.base import get_provider
+
+    online = get_provider("MEMORY_ONLINE", {}, cache_key="online-mem")
+    table = online.as_online_store().get_table("score", "s1")
+    assert table.get("u1") == 11 and table.get("u2") == 9
+
+    # offline: ALL streamed rows appended to the source table
+    offline = get_provider(
+        "PANDAS_OFFLINE", {}, cache_key="offline-pd"
+    ).as_offline_store()
+    rows = offline.table_rows("events", "s1")
+    assert [(r["user"], r["score"]) for r in rows] == [
+        ("u1", 7), ("u2", 9), ("u1", 11)
+    ]
+
+    # labels: offline append only
+    lv = pb.LabelVariant(
+        name="clicked", variant="s1", owner="alice", entity="user",
+        source=pb.NameVariant(name="events", variant="s1"),
+    )
+    lv.entity_mappings.value_column = "clicked"
+    lv.entity_mappings.mappings.add(name="user", entity_column="user")
+    _uu(chan, "CreateLabelVariant", pb.LabelVariantRequest, pb.Empty)(
+        pb.LabelVariantRequest(label_variant=lv)
+    )
+    _su(chan, "WriteLabels", pb.StreamingLabelVariant, pb.Empty)(
+        iter([pb.StreamingLabelVariant(
+            name="clicked", variant="s1", entity="u1", value="true"
+        )])
+    )
+    rows = offline.table_rows("events", "s1")
+    assert any(r.get("clicked") for r in rows)
+
+    # unknown feature -> NOT_FOUND
+    with pytest.raises(grpc.RpcError) as exc:
+        _su(chan, "WriteFeatures", pb.StreamingFeatureVariant, pb.Empty)(
+            iter([pb.StreamingFeatureVariant(name="nope", variant="s1")])
+        )
+    assert exc.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+def test_staged_deletion_via_reference_stub(ref_pb, our_server):
+    """MarkForDeletion stages; GetStagedForDeletionResource reads the
+    staged copy (metadata.go:2558); FinalizeDeletion drops it."""
+    pb = ref_pb
+    addr, store = our_server
+    chan = grpc.insecure_channel(addr)
+
+    sv = pb.SourceVariant(name="doomed", variant="v1", owner="alice")
+    sv.primaryData.table.name = "doomed_raw"
+    _uu(chan, "CreateSourceVariant", pb.SourceVariantRequest, pb.Empty)(
+        pb.SourceVariantRequest(source_variant=sv)
+    )
+
+    rid = pb.ResourceID(
+        resource=pb.NameVariant(name="doomed", variant="v1"),
+        resource_type=pb.ResourceType.SOURCE_VARIANT,
+    )
+    _uu(chan, "MarkForDeletion", pb.MarkForDeletionRequest,
+        pb.MarkForDeletionResponse)(
+        pb.MarkForDeletionRequest(resource_id=rid)
+    )
+
+    # live namespace no longer sees it
+    with pytest.raises(grpc.RpcError) as exc:
+        list(_ss(chan, "GetSourceVariants", pb.NameVariantRequest,
+                 pb.SourceVariant)(
+            iter([pb.NameVariantRequest(
+                name_variant=pb.NameVariant(name="doomed", variant="v1")
+            )])
+        ))
+    assert exc.value.code() == grpc.StatusCode.NOT_FOUND
+
+    # ... but the staged copy is readable
+    staged = _uu(chan, "GetStagedForDeletionResource",
+                 pb.GetStagedForDeletionResourceRequest,
+                 pb.GetStagedForDeletionResourceResponse)(
+        pb.GetStagedForDeletionResourceRequest(resource_id=rid)
+    )
+    got = staged.resource_variant
+    assert got.WhichOneof("resource") == "source_variant"
+    assert got.source_variant.name == "doomed"
+    assert got.source_variant.primaryData.table.name == "doomed_raw"
+
+    _uu(chan, "FinalizeDeletion", pb.FinalizeDeletionRequest,
+        pb.FinalizeDeletionResponse)(
+        pb.FinalizeDeletionRequest(resource_id=rid)
+    )
+    with pytest.raises(grpc.RpcError) as exc:
+        _uu(chan, "GetStagedForDeletionResource",
+            pb.GetStagedForDeletionResourceRequest,
+            pb.GetStagedForDeletionResourceResponse)(
+            pb.GetStagedForDeletionResourceRequest(resource_id=rid)
+        )
+    assert exc.value.code() == grpc.StatusCode.NOT_FOUND
+
+
+def test_conflict_reports_field_diff(ref_pb, our_server):
+    """A conflicting re-registration names the differing fields
+    (reference equivalence package, source_variant.go:337)."""
+    pb = ref_pb
+    addr, store = our_server
+    chan = grpc.insecure_channel(addr)
+
+    sv = pb.SourceVariant(name="diffsrc", variant="v1", owner="alice")
+    sv.primaryData.table.name = "original"
+    create = _uu(chan, "CreateSourceVariant", pb.SourceVariantRequest, pb.Empty)
+    create(pb.SourceVariantRequest(source_variant=sv))
+    sv2 = pb.SourceVariant(name="diffsrc", variant="v1", owner="alice")
+    sv2.primaryData.table.name = "changed"
+    with pytest.raises(grpc.RpcError) as exc:
+        create(pb.SourceVariantRequest(source_variant=sv2))
+    assert exc.value.code() == grpc.StatusCode.ALREADY_EXISTS
+    assert "differing fields" in exc.value.details()
+    assert "primary" in exc.value.details()
+
+
+def test_api_service_proxies_metadata_surface(ref_pb, our_server):
+    """The Api service answers the shared Metadata method set on its
+    own paths (reference clients talk to the Api gateway, not metadata
+    directly)."""
+    pb = ref_pb
+    addr, store = our_server
+    chan = grpc.insecure_channel(addr)
+
+    _api_uu(chan, "CreateUser", pb.UserRequest, pb.Empty)(
+        pb.UserRequest(user=pb.User(name="via-api"))
+    )
+    got = list(chan.stream_stream(
+        f"{_API}/GetUsers",
+        request_serializer=pb.NameRequest.SerializeToString,
+        response_deserializer=pb.User.FromString,
+    )(iter([pb.NameRequest(name=pb.Name(name="via-api"))])))
+    assert got[0].name == "via-api"
