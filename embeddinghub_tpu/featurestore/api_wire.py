@@ -56,8 +56,8 @@ class ApiWireService(MetadataWireService):
     way FeatureServe does — a streamed write is immediately visible to
     a subsequent serve."""
 
-    def __init__(self, store: MetadataStore, serving=None):
-        super().__init__(store)
+    def __init__(self, store: MetadataStore, serving=None, tasks=None):
+        super().__init__(store, tasks=tasks)
         if serving is None:
             from embeddinghub_tpu.featurestore.serving import ServingClient
 

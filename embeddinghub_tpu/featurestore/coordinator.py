@@ -104,17 +104,26 @@ class Coordinator:
         self._thread.start()
 
     def schedule_refreshes(self) -> int:
-        """Scheduled re-runs: tasks whose target declares
+        """Scheduled re-runs: tasks with a schedule string (set via
+        RequestScheduleChange) or whose target declares
         ``refresh_interval_s`` get a fresh PENDING run once the previous
         READY run is older than the interval (the reference's CronJob
-        scheduling for sources/materializations)."""
+        scheduling for sources/materializations,
+        kubernetes/kubernetes.go:223-236)."""
         import time as _time
+
+        from embeddinghub_tpu.featurestore.scheduling import parse_schedule
 
         created = 0
         now = _time.time()
         for task in list(self.tasks._tasks.values()):
-            res = self.metadata.maybe_get(task.target)
-            interval = getattr(res, "refresh_interval_s", 0) if res else 0
+            try:
+                interval = parse_schedule(task.schedule)
+            except ValueError:
+                interval = None
+            if interval is None:
+                res = self.metadata.maybe_get(task.target)
+                interval = getattr(res, "refresh_interval_s", 0) if res else 0
             if not interval:
                 continue
             runs = self.tasks.runs_for_task(task.id)

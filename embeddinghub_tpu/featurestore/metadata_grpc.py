@@ -153,13 +153,16 @@ def build_server(
         register,
     )
 
-    register(MetadataWireService(metadata), server)
+    tasks = coordinator.tasks if coordinator is not None else None
+    register(MetadataWireService(metadata, tasks=tasks), server)
     from embeddinghub_tpu.featurestore.api_wire import ApiWireService
     from embeddinghub_tpu.featurestore.api_wire import (
         register as register_api,
     )
 
-    register_api(ApiWireService(metadata, serving=serving), server)
+    register_api(
+        ApiWireService(metadata, serving=serving, tasks=tasks), server
+    )
     if coordinator is not None:
         from embeddinghub_tpu.featurestore.tasks_wire import TasksWireService
         from embeddinghub_tpu.featurestore.tasks_wire import (

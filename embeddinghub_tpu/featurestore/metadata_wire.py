@@ -376,10 +376,15 @@ def _first_variant_name(store: MetadataStore, rtype, name) -> list[str]:
 
 
 class MetadataWireService(MetadataServicer):
-    """The reference ``Metadata`` surface over our MetadataStore."""
+    """The reference ``Metadata`` surface over our MetadataStore.
 
-    def __init__(self, store: MetadataStore):
+    ``tasks`` (a :class:`scheduling.TaskManager`, optional) lets
+    RequestScheduleChange attach cron-lite schedules to the target's
+    task; without it the RPC only validates the schedule string."""
+
+    def __init__(self, store: MetadataStore, tasks=None):
         self.store = store
+        self.tasks = tasks
 
     # -------------------------------------------------------------- create
 
@@ -441,6 +446,29 @@ class MetadataWireService(MetadataServicer):
         )
 
     def RequestScheduleChange(self, request, context):
+        """Attach a cron-lite schedule to the target resource's task;
+        the coordinator's poll loop re-runs it on the interval
+        (reference CronJob scheduling, kubernetes.go:223-236)."""
+        from embeddinghub_tpu.featurestore.scheduling import parse_schedule
+
+        rid = request.resource_id
+        rtype = _PB_RTYPE.get(rid.resource_type)
+        if rtype is None:
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT,
+                          "unsupported resource type")
+        try:
+            parse_schedule(request.schedule)
+        except ValueError as e:
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+        if self.tasks is not None:
+            target = ResourceID(rtype, rid.resource.name, rid.resource.variant)
+            task = self.tasks.task_for_target(target)
+            if task is None:
+                context.abort(
+                    grpc.StatusCode.NOT_FOUND,
+                    f"no task targets {target.key()}",
+                )
+            self.tasks.set_schedule(task.id, request.schedule)
         return pb.Empty()
 
     # ----------------------------------------------------------------- get

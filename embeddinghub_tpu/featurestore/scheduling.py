@@ -11,6 +11,7 @@ the Tasks gRPC surface hosted by metadata, ``metadata.go:1940-2233``).
 from __future__ import annotations
 
 import enum
+import re
 import threading
 import time
 from dataclasses import dataclass, field
@@ -34,6 +35,44 @@ class TaskMetadata:
     task_type: str          # e.g. "materialize", "source", "trainingset"
     target: ResourceID
     created_at: float = field(default_factory=time.time)
+    # cron-lite schedule string ("@every 30s", "*/5 * * * *", bare
+    # seconds); parsed by parse_schedule.  The coordinator's poll loop
+    # creates a fresh run once the last READY run is older than the
+    # interval (the reference's CronJob scheduling,
+    # kubernetes/kubernetes.go:223-236, wired from RequestScheduleChange)
+    schedule: str = ""
+
+
+_DURATION_UNITS = {"ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def parse_schedule(schedule: str) -> float | None:
+    """Schedule string -> interval seconds (None when empty).
+
+    Accepted forms (cron-lite — the reference passes k8s cron strings,
+    kubernetes.go:223-236; an interval covers the coordinator's needs):
+      * ``@every 30s`` / ``@every 5m`` / ``@every 1.5h`` (Go cron syntax)
+      * bare number (seconds), e.g. ``90``
+      * step-form cron ``*/N * * * *`` (every N minutes)
+    Raises ValueError on anything else."""
+    if not schedule or not schedule.strip():
+        return None
+    s = schedule.strip()
+    if s.startswith("@every"):
+        s = s[len("@every"):].strip()
+    parts = s.split()
+    if len(parts) == 5:  # cron
+        minute = parts[0]
+        if parts[1:] == ["*"] * 4 and minute.startswith("*/"):
+            return float(minute[2:]) * 60.0
+        if parts[1:] == ["*"] * 4 and minute == "*":
+            return 60.0
+        raise ValueError(f"unsupported cron schedule {schedule!r} "
+                         "(use */N * * * * or @every <duration>)")
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*(ms|s|m|h|d)?", s)
+    if m is None:
+        raise ValueError(f"unparseable schedule {schedule!r}")
+    return float(m.group(1)) * _DURATION_UNITS[m.group(2) or "s"]
 
 
 @dataclass
@@ -155,6 +194,17 @@ class TaskManager:
                 run.attempts += 1
             if status in (RunStatus.READY, RunStatus.FAILED, RunStatus.CANCELLED):
                 run.ended_at = time.time()
+
+    def set_schedule(self, task_id: int, schedule: str) -> None:
+        """Attach/replace a task's schedule string (validated).  The
+        reference's RequestScheduleChange updates the resource's
+        CronJob; here the coordinator poll loop honors it."""
+        parse_schedule(schedule)  # raises on junk before we store it
+        with self._lock:
+            task = self._tasks.get(task_id)
+            if task is None:
+                raise fferr.ResourceNotFoundError("task", str(task_id))
+            task.schedule = schedule
 
     def set_run_resume_id(self, run_id: int, resume_id: str) -> None:
         with self._lock:

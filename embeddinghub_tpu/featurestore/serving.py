@@ -60,10 +60,20 @@ class ServingClient:
                 fn = feat.on_demand_fn
                 if isinstance(fn, str):
                     # Crossed a process boundary: the wire codec ships
-                    # function SOURCE, never code objects.  Executing
-                    # client-supplied source is opt-in (the reference
-                    # always dill-execs here; we fail closed).
-                    fn = _compile_on_demand(fn)
+                    # function SOURCE, never code objects (the reference
+                    # dill-execs client bytes in the server,
+                    # serving/serving.go — we keep that capability but
+                    # not that hazard).  Resolution order:
+                    #   1. an operator-registered callable for this
+                    #      feature (safe: native code, no exec), or
+                    #   2. the shipped source, opt-in via
+                    #      EHTPU_ALLOW_REMOTE_CODE (fail closed).
+                    registered = lookup_on_demand(name, variant)
+                    fn = (
+                        registered
+                        if registered is not None
+                        else _compile_on_demand(fn)
+                    )
                 out.append(fn(None, params or {}, entities))
                 continue
             if feat.status != Status.READY:
@@ -285,6 +295,36 @@ class Dataset:
         else:
             for feats, label in row_iter():
                 yield Row(feats, label)
+
+
+# Operator-registered on-demand callables: the SAFE way to serve
+# on-demand features to remote clients.  The server operator registers
+# the function natively (by feature name or name/variant); a remotely
+# registered variant whose body arrived as source text is then answered
+# by this native callable and nothing is ever exec'd.
+_ON_DEMAND_REGISTRY: dict[str, "Callable"] = {}
+
+
+def register_on_demand(name: str, fn=None, variant: str = ""):
+    """Register a server-side callable for an on-demand feature.
+
+    Usable directly (``register_on_demand("risk", fn)``) or as a
+    decorator (``@register_on_demand("risk")``).  Signature matches the
+    on-demand convention: ``fn(client, params, entities)``."""
+    key = f"{name}/{variant}" if variant else name
+
+    def _put(f):
+        _ON_DEMAND_REGISTRY[key] = f
+        return f
+
+    if fn is None:
+        return _put
+    return _put(fn)
+
+
+def lookup_on_demand(name: str, variant: str = ""):
+    return _ON_DEMAND_REGISTRY.get(f"{name}/{variant}") or \
+        _ON_DEMAND_REGISTRY.get(name)
 
 
 def _compile_on_demand(source: str):

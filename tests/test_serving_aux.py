@@ -320,3 +320,86 @@ def test_grpc_train_test_split_reinit_and_close(grpc_serving):
     # re-INITIALIZE reset the train cursor: same rows served again
     assert len(resps[3].data.rows) == len(resps[1].data.rows)
     assert resps[3].iterator_done and resps[4].iterator_done
+
+
+def _add_remote_ondemand(client, name="od_score"):
+    """Simulate a REMOTELY registered on-demand feature: the variant
+    round-trips the wire codec so on_demand_fn degrades to source text
+    (never a code object) before it lands in the server's store."""
+    from embeddinghub_tpu.featurestore.resources import (
+        FeatureVariant,
+        from_wire,
+        to_wire,
+    )
+
+    def od_fn(client_, params, entities):
+        return len(str(entities.get("user", ""))) * 100
+
+    fv = FeatureVariant(
+        name=name, variant="default", on_demand_fn=od_fn, owner="alice"
+    )
+    remote_fv = from_wire(to_wire(fv))
+    assert isinstance(remote_fv.on_demand_fn, str)  # source text on wire
+    client.metadata.create(remote_fv)
+    return remote_fv
+
+
+def test_grpc_on_demand_registered_callable(grpc_serving, applied_client):
+    """Server-side on-demand execution for remote clients (reference
+    serving/serving.go dill path) WITHOUT executing client bytes: the
+    operator registers a native callable and FeatureServe answers with
+    it."""
+    from embeddinghub_tpu.featurestore.serving import register_on_demand
+
+    stub, pb = grpc_serving
+    _add_remote_ondemand(applied_client)
+    register_on_demand(
+        "od_score", lambda c, p, ents: 42 + len(ents.get("user", ""))
+    )
+    try:
+        req = pb.FeatureServeRequest()
+        f = req.features.add()
+        f.name, f.version = "od_score", "default"
+        e = req.entities.add()
+        e.name = "user"
+        e.values.append("u2")
+        row = stub.FeatureServe(req)
+        assert row.value_lists[0].values[0].int64_value == 44
+    finally:
+        from embeddinghub_tpu.featurestore import serving as serving_mod
+
+        serving_mod._ON_DEMAND_REGISTRY.clear()
+
+
+def test_grpc_on_demand_source_fails_closed(grpc_serving, applied_client, monkeypatch):
+    """Without a registered callable and without the opt-in env var,
+    remotely shipped on-demand source must NOT execute."""
+    import grpc as grpc_mod
+
+    stub, pb = grpc_serving
+    _add_remote_ondemand(applied_client, name="od_closed")
+    monkeypatch.delenv("EHTPU_ALLOW_REMOTE_CODE", raising=False)
+    req = pb.FeatureServeRequest()
+    f = req.features.add()
+    f.name, f.version = "od_closed", "default"
+    e = req.entities.add()
+    e.name = "user"
+    e.values.append("u1")
+    with pytest.raises(grpc_mod.RpcError):
+        stub.FeatureServe(req)
+
+
+def test_grpc_on_demand_source_opt_in(grpc_serving, applied_client, monkeypatch):
+    """With EHTPU_ALLOW_REMOTE_CODE=1 the shipped source executes
+    server-side (the reference's always-on dill behavior, made opt-in)."""
+    stub, pb = grpc_serving
+    _add_remote_ondemand(applied_client, name="od_open")
+    monkeypatch.setenv("EHTPU_ALLOW_REMOTE_CODE", "1")
+    req = pb.FeatureServeRequest()
+    f = req.features.add()
+    f.name, f.version = "od_open", "default"
+    e = req.entities.add()
+    e.name = "user"
+    e.values.append("u1")
+    row = stub.FeatureServe(req)
+    assert row.value_lists[0].values[0].int64_value == 200  # len("u1")*100
