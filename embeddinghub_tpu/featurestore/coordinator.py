@@ -277,10 +277,27 @@ def _run_source(coord: Coordinator, rid: ResourceID, run: TaskRunMetadata) -> No
     src: SourceVariant = coord.metadata.get(rid)  # type: ignore[assignment]
     offline = coord.provider_for(src.provider).as_offline_store()
     if src.is_transformation():
-        run.log(f"running transformation with inputs {src.inputs}")
-        offline.create_transformation(
-            src.name, src.variant, src.transformation, src.inputs
+        # compute-offload seam (reference tasks/source.go picking Spark
+        # vs k8s): a transformation may name an engine — its job spec is
+        # submitted/polled/fetched instead of running provider-native.
+        from embeddinghub_tpu.featurestore.transform_engine import (
+            build_spec,
+            get_engine,
         )
+
+        engine = get_engine((src.transformation or {}).get("engine"))
+        if engine is not None:
+            run.log(
+                f"submitting transformation to {type(engine).__name__} "
+                f"(inputs {src.inputs})"
+            )
+            rows = engine.run(build_spec(src, offline), on_log=run.log)
+            offline.write_rows(src.name, src.variant, rows)
+        else:
+            run.log(f"running transformation with inputs {src.inputs}")
+            offline.create_transformation(
+                src.name, src.variant, src.transformation, src.inputs
+            )
     else:
         run.log("registering primary data")
         offline.register_primary(src.name, src.variant, src.primary)

@@ -118,6 +118,13 @@ class JobAlreadyRunningError(FFError):
     code = "ABORTED"
 
 
+class JobFailedError(JobError):
+    def __init__(self, job_id: str, detail: str = ""):
+        super().__init__(
+            f"transform job {job_id} failed: {detail}", job_id=job_id
+        )
+
+
 class KeyAlreadyLockedError(FFError):
     code = "ABORTED"
 

@@ -366,22 +366,29 @@ class Registrar:
         )
 
     def sql_transformation(
-        self, name: str, provider: str, variant: str = "default", inputs=None, **kw
+        self, name: str, provider: str, variant: str = "default", inputs=None,
+        engine: str | None = None, **kw
     ) -> Callable:
         """Decorator: the function's docstring/return is the SQL text
         with ``{{ source.variant }}`` placeholders (register.py's
-        sql_transformation decorator style)."""
+        sql_transformation decorator style).  ``engine`` routes
+        execution through a TransformEngine ("inprocess"/"subprocess"/
+        registered external) instead of the offline provider — the
+        reference's Spark/k8s submission seam (tasks/source.go)."""
 
         def decorator(fn):
             sql = fn() if callable(fn) else fn
             if not isinstance(sql, str):
                 sql = fn.__doc__ or ""
+            transformation = {"sql": sql}
+            if engine:
+                transformation["engine"] = engine
             self._add(
                 SourceVariant(
                     name=name,
                     variant=variant,
                     provider=provider,
-                    transformation={"sql": sql},
+                    transformation=transformation,
                     inputs=[tuple(i) for i in (inputs or [])],
                     **kw,
                 )
@@ -391,17 +398,22 @@ class Registrar:
         return decorator
 
     def df_transformation(
-        self, name: str, provider: str, inputs: list, variant: str = "default", **kw
+        self, name: str, provider: str, inputs: list, variant: str = "default",
+        engine: str | None = None, **kw
     ) -> Callable:
-        """Decorator: fn(rows_of_each_input...) -> list[dict]."""
+        """Decorator: fn(rows_of_each_input...) -> list[dict].
+        ``engine`` as in :meth:`sql_transformation`."""
 
         def decorator(fn):
+            transformation = {"df": fn}
+            if engine:
+                transformation["engine"] = engine
             self._add(
                 SourceVariant(
                     name=name,
                     variant=variant,
                     provider=provider,
-                    transformation={"df": fn},
+                    transformation=transformation,
                     inputs=[tuple(i) for i in inputs],
                     **kw,
                 )
