@@ -138,10 +138,130 @@ class StreamerService:
 
 
 def read_stream(location: str, ticket: dict) -> "list[dict]":
-    """Client helper (the streamer_proxy role): fetch a ticket's stream
-    and return rows as dicts."""
+    """Client helper: fetch a ticket's stream and return rows as dicts."""
     import pyarrow.flight as fl
 
     client = fl.connect(location)
     reader = client.do_get(fl.Ticket(json.dumps(ticket).encode()))
     return reader.read_all().to_pylist()
+
+
+class StreamerProxy:
+    """Ticket-hydrating Flight proxy in front of a :class:`StreamerService`
+    (the reference's Go proxy tier, ``streamer_proxy/main.go:32-174``).
+
+    Clients send a *logical* ticket naming a registered resource:
+
+        {"source": name, "variant": v, "resourceType": t, "limit": L}
+
+    The proxy validates the fields (same missing-field errors as
+    ``hydrateTicket``, main.go:55-72), resolves the source variant
+    against the metadata store — unknown resources fail here, before
+    any data movement, exactly like the reference's
+    ``GetSourceVariant`` call — then *hydrates* a physical ticket in
+    the inner streamer's schema and relays the record-batch stream
+    unmodified (main.go:203-219's Recv/Send loop; pyarrow's
+    GeneratorStream plays that role).
+
+    resourceType maps onto the inner ticket kinds:
+      "source"/"primary"/"transformation" -> "source"
+      "materialization"                   -> "materialized"
+      "training_set"                      -> "training_set"
+    """
+
+    _KIND = {
+        "source": "source",
+        "primary": "source",
+        "transformation": "source",
+        "materialization": "materialized",
+        "training_set": "training_set",
+    }
+
+    def __init__(self, metadata, streamer_location: str,
+                 host: str = "127.0.0.1", port: int = 0):
+        import pyarrow.flight as fl
+
+        self._meta = metadata
+        self._inner = streamer_location
+        outer = self
+
+        class _Proxy(fl.FlightServerBase):
+            def do_get(self, context, ticket):
+                return outer._do_get(ticket)
+
+        self._server = _Proxy(f"grpc://{host}:{port}")
+        self.port = self._server.port
+        self.location = f"grpc://{host}:{self.port}"
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "StreamerProxy":
+        self._thread = threading.Thread(target=self._server.serve, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def _hydrate(self, raw: bytes) -> dict:
+        from embeddinghub_tpu.featurestore.resources import (
+            ResourceID,
+            ResourceType,
+        )
+
+        try:
+            req: dict[str, Any] = json.loads(raw.decode("utf-8"))
+        except json.JSONDecodeError as e:
+            raise ValueError("failed to parse ticket JSON") from e
+        for f in ("source", "variant", "resourceType"):
+            if not req.get(f):
+                raise ValueError(f"missing '{f}' in ticket data")
+        kind = self._KIND.get(req["resourceType"])
+        if kind is None:
+            raise ValueError(
+                f"unsupported resourceType: {req['resourceType']!r}"
+            )
+        limit = req.get("limit") or DEFAULT_LIMIT
+        if not isinstance(limit, int) or limit <= 0:
+            raise ValueError(f"invalid 'limit' value: {limit}")
+        # existence check against metadata before any data movement
+        rtype = (
+            ResourceType.TRAINING_SET_VARIANT
+            if kind == "training_set"
+            else ResourceType.SOURCE_VARIANT
+        )
+        self._meta.get(ResourceID(rtype, req["source"], req["variant"]))
+        hydrated = {
+            "kind": kind,
+            "name": req["source"],
+            "variant": req["variant"],
+            "limit": limit,
+        }
+        if kind == "materialized":
+            for f in ("entity_column", "value_column", "timestamp_column"):
+                if f in req:
+                    hydrated[f] = req[f]
+        return hydrated
+
+    def _do_get(self, ticket):
+        import pyarrow.flight as fl
+
+        hydrated = self._hydrate(ticket.ticket)
+        client = fl.connect(self._inner)
+        reader = client.do_get(
+            fl.Ticket(json.dumps(hydrated).encode())
+        )
+
+        def relay():
+            try:
+                for chunk in reader:
+                    yield chunk.data
+            finally:
+                client.close()
+
+        return fl.GeneratorStream(reader.schema, relay())
