@@ -21,6 +21,7 @@ import sys
 import embeddinghub_tpu.featurestore as ff
 from embeddinghub_tpu.featurestore.metadata import MetadataStore, SqliteStorage
 from embeddinghub_tpu.featurestore.resources import ResourceType
+from embeddinghub_tpu.featurestore.format import format_pg, format_rows
 from embeddinghub_tpu.featurestore.search import SearchIndex
 
 _TYPES = {
@@ -47,6 +48,8 @@ def main(argv=None) -> int:
 
     p_apply = sub.add_parser("apply")
     p_apply.add_argument("definitions")
+    p_apply.add_argument("--verbose", action="store_true",
+                         help="raise if any resource FAILED")
 
     p_list = sub.add_parser("list")
     p_list.add_argument("type", choices=sorted(_TYPES))
@@ -65,20 +68,17 @@ def main(argv=None) -> int:
     if args.cmd == "apply":
         ff.global_registrar().reset()
         runpy.run_path(args.definitions)
-        created = client.apply()
+        created = client.apply(display=True, verbose=args.verbose)
         for res in created:
             print(f"created {res.rid().key()}")
-        for res in client.metadata.all():
-            print(f"{res.rid().key()}: {res.status.value}")
         return 0
 
     if args.cmd == "list":
+        # reference list.py column layout (NAME / VARIANT / STATUS)
+        format_rows("NAME", "VARIANT", "STATUS")
         for res in client.list_resources(_TYPES[args.type]):
-            variant = getattr(res, "variant", "")
-            print(
-                f"{res.name}"
-                + (f".{variant}" if variant else "")
-                + f"\t{res.status.value}"
+            format_rows(
+                res.name, getattr(res, "variant", ""), res.status.value
             )
         return 0
 
@@ -98,14 +98,34 @@ def main(argv=None) -> int:
                 )
                 variants = [res]
         for res in variants:
-            print(f"name: {res.name}")
+            # reference get.py field layout (get.py:40-58)
+            rows = [("NAME: ", res.name)]
             if getattr(res, "variant", ""):
-                print(f"variant: {res.variant}")
-            print(f"status: {res.status.value}")
-            if res.status_error:
-                print(f"error: {res.status_error}")
-            if res.description:
-                print(f"description: {res.description}")
+                rows.append(("VARIANT: ", res.variant))
+            for label, attr in (
+                ("ENTITY:", "entity"),
+                ("OWNER:", "owner"),
+                ("DESCRIPTION:", "description"),
+                ("PROVIDER:", "provider"),
+            ):
+                val = getattr(res, attr, "")
+                if val:
+                    rows.append((label, val))
+            rows.append(("STATUS: ", res.status.value))
+            if res.status.value == "FAILED" and res.status_error:
+                rows.append(("ERROR: ", res.status_error))
+            format_rows(rows)
+            src = getattr(res, "source", None)
+            if src and src[0]:
+                format_pg("SOURCE: ")
+                format_rows([("NAME", "VARIANT"), (src[0], src[1])])
+            deps = res.dependencies()
+            if deps:
+                format_pg("DEPENDS ON:")
+                format_rows("NAME", "VARIANT", "TYPE")
+                for d in deps:
+                    format_rows(d.name, d.variant, d.type.value)
+            format_pg()
         return 0
 
     if args.cmd == "search":

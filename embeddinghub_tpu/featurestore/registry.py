@@ -573,10 +573,19 @@ class Client(ServingClient):
 
     # ----------------------------------------------------------------- apply
 
-    def apply(self, wait: bool = True) -> list[Resource]:
+    def apply(
+        self,
+        wait: bool = True,
+        display: bool = False,
+        verbose: bool = False,
+    ) -> list[Resource]:
         """Submit registered resources in dependency order (the
         reference's ResourceState.create_all), then drive tasks to
-        completion when ``wait``."""
+        completion when ``wait``.  With ``display`` a live status table
+        tracks each resource to READY/FAILED while the coordinator
+        works (reference apply's StatusDisplayer,
+        ``status_display.py:47``); ``verbose`` additionally raises at
+        the end if anything FAILED."""
         pending = self.registrar.resources()
         created = []
         for res in _topo_sort(pending):
@@ -586,7 +595,23 @@ class Client(ServingClient):
             except fferr.ResourceChangedError:
                 raise
         if wait:
-            self.coordinator.run_pending_sync()
+            if display:
+                import threading as _threading
+
+                from embeddinghub_tpu.featurestore.status_display import (
+                    StatusDisplayer,
+                )
+
+                worker = _threading.Thread(
+                    target=self.coordinator.run_pending_sync, daemon=True
+                )
+                worker.start()
+                StatusDisplayer(
+                    self.metadata, created, verbose=verbose
+                ).display(until=lambda: not worker.is_alive())
+                worker.join()
+            else:
+                self.coordinator.run_pending_sync()
         self.registrar.reset()
         return created
 

@@ -238,11 +238,18 @@ reg.register_feature("clicks", source=("events", "default"), entity="user",
     db = str(tmp_path / "state.db")
     assert cli.main(["--db", db, "apply", str(defs)]) == 0
     out = capsys.readouterr().out
-    assert "FEATURE_VARIANT/clicks/default: READY" in out
+    # plain status-display lines (non-TTY capture) + created summary
+    assert "FEATURE_VARIANT clicks (default): READY" in out
+    assert "created FEATURE_VARIANT/clicks/default" in out
     assert cli.main(["--db", db, "list", "feature"]) == 0
-    assert "clicks" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert out.splitlines()[0].split() == ["NAME", "VARIANT", "STATUS"]
+    assert "clicks" in out
     assert cli.main(["--db", db, "get", "feature", "clicks", "default"]) == 0
-    assert "status: READY" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "NAME: " in out and "clicks" in out
+    assert "STATUS: " in out and "READY" in out
+    assert "SOURCE: " in out  # reference get.py section layout
     assert cli.main(["--db", db, "search", "clicks"]) == 0
     assert "clicks" in capsys.readouterr().out
 
@@ -403,3 +410,113 @@ def test_grpc_on_demand_source_opt_in(grpc_serving, applied_client, monkeypatch)
     e.values.append("u1")
     row = stub.FeatureServe(req)
     assert row.value_lists[0].values[0].int64_value == 200  # len("u1")*100
+
+
+def test_dashboard_drilldown_lineage_diff(applied_client):
+    """Task-run drill-down, lineage graph, and variant field-diff
+    endpoints (the reference dashboard's task detail + DAG views,
+    metadata/dashboard/dashboard_metadata.go)."""
+    dash = DashboardServer(
+        applied_client.metadata, applied_client.coordinator, port=0
+    )
+    dash.start()
+    base = f"http://127.0.0.1:{dash.port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=10) as r:
+            return json.loads(r.read().decode())
+
+    try:
+        runs = get("/tasks")
+        assert runs and all("duration_s" in r for r in runs)
+        rid = runs[0]["run_id"]
+        detail = get(f"/tasks/{rid}")
+        assert detail["run_id"] == rid
+        assert "logs" in detail and "task_runs" in detail
+        assert detail["started_at"] is not None
+
+        g = get("/lineage/training-sets/model/default")
+        ids = {n["id"] for n in g["nodes"]}
+        # upstream: label + feature + their source
+        assert g["root"].startswith("TRAINING_SET_VARIANT/model")
+        assert any("LABEL_VARIANT/clicked" in i for i in ids)
+        assert any("SOURCE_VARIANT/events" in i for i in ids)
+        assert g["edges"], "training set must have upstream edges"
+        # feature lineage flows downstream to the training set
+        gf = get("/lineage/features/clicks/default")
+        assert any("TRAINING_SET_VARIANT/model" in i
+                   for n in gf["nodes"] for i in [n["id"]])
+        # nodes carry their latest run status
+        assert any(n["latest_run"] for n in g["nodes"])
+
+        # field-level variant diff
+        reg = applied_client.registrar
+        reg.register_primary_data(
+            "events", variant="v2", provider="wh",
+            location={"rows": ROWS + [{"user_id": "u3", "clicks": 5,
+                                       "vec": [1.0, 1.0], "ts": 2}]},
+        )
+        applied_client.apply()
+        diff = get("/diff/sources/events?v1=default&v2=v2")
+        assert "primary" in diff["differing_fields"]
+    finally:
+        dash.stop()
+
+
+def test_status_displayer_plain_and_verbose(applied_client, capsys):
+    """StatusDisplayer (reference status_display.py:47): plain mode
+    prints one line per status change; verbose raises on FAILED."""
+    import io
+
+    from embeddinghub_tpu.featurestore.resources import (
+        ResourceID, ResourceType, Status,
+    )
+    from embeddinghub_tpu.featurestore.status_display import StatusDisplayer
+
+    meta = applied_client.metadata
+    resources = [
+        meta.get(ResourceID(ResourceType.FEATURE_VARIANT, "clicks", "default")),
+        meta.get(ResourceID(ResourceType.SOURCE_VARIANT, "events", "default")),
+    ]
+    buf = io.StringIO()
+    disp = StatusDisplayer(meta, resources, plain=True, out=buf)
+    disp.display()  # everything already READY -> returns immediately
+    out = buf.getvalue()
+    assert "FEATURE_VARIANT clicks (default): READY" in out
+    assert "SOURCE_VARIANT events (default): READY" in out
+
+    # verbose mode raises when a tracked resource FAILED
+    rid = ResourceID(ResourceType.FEATURE_VARIANT, "clicks", "default")
+    meta.set_status(rid, Status.FAILED, "boom")
+    disp2 = StatusDisplayer(
+        meta, [meta.get(rid)], plain=True, verbose=True, out=io.StringIO()
+    )
+    with pytest.raises(Exception, match="failed to create"):
+        disp2.display()
+    meta.set_status(rid, Status.READY)
+
+
+def test_apply_with_display(capsys):
+    """client.apply(display=True) drives the coordinator while the
+    status table tracks resources to READY."""
+    reset_provider_cache()
+    ff.global_registrar().reset()
+    client = ff.Client()
+    reg = client.registrar
+    reg.register_sqlite_offline("wh2")
+    reg.register_memory_online("cache2")
+    reg.register_entity("user")
+    reg.register_primary_data(
+        "ev2", provider="wh2",
+        location={"rows": [{"user_id": "u1", "n": 1}]},
+    )
+    reg.register_feature(
+        "n", source=("ev2", "default"), entity="user",
+        entity_column="user_id", value_column="n", provider="cache2",
+    )
+    created = client.apply(display=True)
+    assert any(r.name == "n" for r in created)
+    out = capsys.readouterr().out
+    assert "FEATURE_VARIANT n (default): READY" in out
+    vals = client.features([("n", "default")], {"user": "u1"})
+    assert vals == [1]
