@@ -1,0 +1,180 @@
+"""Cluster-routed graph construction at scale (the >2M rows/chip path).
+
+Measures the sub-quadratic build (k-means-routed candidate pools +
+graph refine rounds, ``index/hnsw._cluster_build_fwd``) on the
+SIFT-descriptor-statistics proxy: build wall-clock + recall@10 at an
+efSearch sweep against a TPU exact-scan ground truth.  VERDICT r2
+item 1's bar: recall@10 >= 0.95 @ef100 at 4M rows, M=16/efC=200.
+
+Usage (real TPU):
+  python benchmarks/cluster_build.py --n 4000000 --efs 50,100,200
+  python benchmarks/cluster_build.py --n 1000000 --force-cluster \
+      --efs 100   # compare against the exact build's 0.9610 @ef100
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from benchmarks.recall_sweep import recall  # noqa: E402
+
+
+def report(**kv):
+    print(json.dumps(kv), flush=True)
+
+
+def sift_desc_chunked(n: int, nq: int, dims: int):
+    """sift-desc proxy sampled in chunks (the generator's float64
+    intermediates would be ~20 GB at 4M in one shot).  Same statistics
+    as recall_sweep.load_data's sift-desc mode, drawn from one rng so
+    chunks don't repeat."""
+    import numpy as _np
+
+    chunk = 1 << 18
+    rng = _np.random.default_rng(0)
+    qrng = _np.random.default_rng(1)
+
+    def sample_desc(count, r):
+        base_ori = r.uniform(0, 8, size=(count, 1, 1))
+        drift = r.normal(0, 1.2, size=(count, 4, 4)).cumsum(2)
+        ori = (base_ori + drift) % 8
+        bins = _np.arange(8)[None, None, None, :]
+        ang = _np.minimum(
+            _np.abs(bins - ori[..., None]), 8 - _np.abs(bins - ori[..., None])
+        )
+        resp = _np.exp(-(ang ** 2) / (2 * 1.1 ** 2))
+        energy = r.gamma(2.0, 1.0, size=(count, 4, 4, 1))
+        noise = r.gamma(1.0, 0.25, size=(count, 4, 4, 8))
+        d = (resp * energy + noise).reshape(count, 128)
+        d /= _np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+        d = _np.minimum(d, 0.2)
+        d /= _np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+        return _np.floor(512.0 * d).astype(_np.float32)
+
+    train = _np.empty((n, dims), _np.float32)
+    done = 0
+    while done < n:
+        c = min(chunk, n - done)
+        train[done : done + c] = sample_desc(c, rng)
+        done += c
+        print(f"  data {done}/{n}", flush=True)
+    test = sample_desc(nq, qrng)
+    return train, test
+
+
+def tpu_ground_truth(train, test, k):
+    """Exact f32 L2 top-k on device, chunked over rows (HIGHEST
+    precision matmul; at 4M rows a host oracle would take ~an hour on
+    the single-core VM)."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    n, d = train.shape
+    nq = test.shape[0]
+    chunk = 1 << 18
+
+    @functools.partial(jax.jit, static_argnums=())
+    def block_scores(xc, q):
+        dots = jax.lax.dot_general(
+            q, xc, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        xsq = jnp.einsum("nd,nd->n", xc, xc,
+                         precision=jax.lax.Precision.HIGHEST)
+        return 2.0 * dots - xsq[None, :]  # monotone in -L2
+
+    qd = jnp.asarray(test)
+    best_s = np.full((nq, k), -np.inf, np.float64)
+    best_i = np.full((nq, k), -1, np.int64)
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        xc = jnp.asarray(train[s:e])
+        sc = np.asarray(block_scores(xc, qd))
+        # merge host-side (k is tiny)
+        cand_s = np.concatenate([best_s, sc], axis=1)
+        cand_i = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(s, e), (nq, e - s))], axis=1
+        )
+        sel = np.argsort(-cand_s, axis=1, kind="stable")[:, :k]
+        best_s = np.take_along_axis(cand_s, sel, axis=1)
+        best_i = np.take_along_axis(cand_i, sel, axis=1)
+        print(f"  gt {e}/{n}", flush=True)
+    return best_i
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4_000_000)
+    ap.add_argument("--nq", type=int, default=512)
+    ap.add_argument("--dims", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--efc", type=int, default=200)
+    ap.add_argument("--efs", default="50,100,200")
+    ap.add_argument("--target", type=int, default=4096)
+    ap.add_argument("--probes", type=int, default=4)
+    ap.add_argument("--refine", type=int, default=2)
+    ap.add_argument("--force-cluster", action="store_true",
+                    help="route through the cluster build below 2M")
+    ap.add_argument("--gt-file", default=None,
+                    help="npz cache for train/test/gt")
+    args = ap.parse_args()
+
+    from embeddinghub_tpu.index.hnsw import HNSWIndex
+
+    t0 = time.time()
+    if args.gt_file and os.path.exists(args.gt_file):
+        z = np.load(args.gt_file)
+        train, test, gt = z["train"], z["test"], z["gt"]
+        print(f"loaded {args.gt_file}", flush=True)
+    else:
+        train, test = sift_desc_chunked(args.n, args.nq, args.dims)
+        print(f"data ready in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        gt = tpu_ground_truth(train, test, args.k)
+        print(f"ground truth in {time.time()-t0:.0f}s", flush=True)
+        if args.gt_file:
+            np.savez(args.gt_file, train=train, test=test, gt=gt)
+
+    idx = HNSWIndex(args.dims, metric="l2", m=args.m,
+                    ef_construction=args.efc, capacity=args.n)
+    if args.force_cluster:
+        idx.exact_build_max = 1024
+    idx.cluster_target = args.target
+    idx.cluster_probes = args.probes
+    idx.cluster_refine_rounds = args.refine
+
+    t0 = time.time()
+    idx.add(np.arange(args.n), train)
+    build_s = time.time() - t0
+    report(event="build", n=args.n, target=args.target,
+           probes=args.probes, refine=args.refine,
+           build_s=round(build_s, 1))
+
+    for ef in [int(e) for e in args.efs.split(",")]:
+        idx.search(test[:8], args.k, ef=ef)  # warm
+        t0 = time.time()
+        _, ids = idx.search(test, args.k, ef=ef)
+        dt = time.time() - t0
+        report(engine="hnsw-cluster", n=args.n, m=args.m, efc=args.efc,
+               ef=ef, recall=round(recall(ids, gt, args.k), 4),
+               qps=round(len(test) / dt, 1), build_s=round(build_s, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,9 +115,26 @@ class HNSWIndex(Index):
         # over beyond.  4096-row waves are the measured throughput AND
         # quality sweet spot (larger waves cost within-wave
         # self-blindness).
-        self.exact_full_max = self.exact_build_max
         self.stream_base = 65_536
         self.max_wave = 4_096
+        # Cluster-routed construction (> exact_build_max rows): k-means
+        # partitions the arena (ops/kmeans.py); each node's candidate
+        # pool comes from an exact scan of its own + `cluster_probes`-1
+        # nearest clusters' members only — O(n * probes * target * d)
+        # instead of the exact build's O(n^2 * d), with the identical
+        # heuristic selection / symmetrize / upper-layer machinery
+        # downstream.  This is the sub-quadratic scaling path past 2M
+        # rows/chip (VERDICT r2 item 1).
+        self.cluster_build_max = 64_000_000
+        self.cluster_target = 4_096   # rows per cluster ≈ query block
+        self.cluster_probes = 4       # clusters scanned per pool
+        self.cluster_refine_rounds = 2  # graph repair after routed pools
+        # `exact_full_max` is the BULK-construction ceiling: up to here
+        # a cold add() builds the whole arena in one bulk pass (exact
+        # scans through `exact_build_max`, cluster-routed beyond); past
+        # it only a `stream_base` core is bulk-built and the remainder
+        # streams through fused waves.
+        self.exact_full_max = self.cluster_build_max
         # Post-stream refine sweep for hybrid (>exact_full_max) builds
         # (see refine()).  Off by default: a full-graph refine costs the
         # same n^2-scan work as the exact build, so below
@@ -396,6 +413,23 @@ class HNSWIndex(Index):
                     nb_local = self._bulk_refine(xd, xsq, nb_local, n, padded)
                 finally:
                     self.refine_rounds = save
+        elif n <= self.cluster_build_max:
+            # Cluster-routed construction: near-exact pools from scans
+            # restricted to each node's k-means neighborhood — the same
+            # selection/symmetrize downstream, sub-quadratic scan cost.
+            # Routed pools miss cross-boundary neighbors (measured
+            # 0.83 @ef100 at 131k/3% coverage, RESULTS.md); the graph
+            # refine rounds (beam re-search of every node on the built
+            # graph, also sub-quadratic) recover them.
+            fwd = self._cluster_build_fwd(xd, xsq, n, padded)
+            nb_local = self._symmetrize_device(fwd, xd, xsq, n, padded)
+            if self.cluster_refine_rounds:
+                save = self.refine_rounds
+                self.refine_rounds = self.cluster_refine_rounds
+                try:
+                    nb_local = self._bulk_refine(xd, xsq, nb_local, n, padded)
+                finally:
+                    self.refine_rounds = save
         else:
             m0 = min(self.m0, 32)
             nb = nnd.nn_descent(
@@ -562,6 +596,134 @@ class HNSWIndex(Index):
         top_nodes = np.flatnonzero(levels == top)
         self._entry = int(local_to_row[top_nodes[0]])
         self._max_level = top
+
+    # ------------------------------------------------- cluster-routed build
+
+    def _cluster_build_fwd(self, xd, xsqd, n: int, padded: int):
+        """Forward link lists from cluster-routed near-exact pools.
+
+        Past ``exact_build_max`` the O(n²·d) exact scan stops paying
+        (RESULTS.md: 1M fwd ≈ 125-275 s; 4M would be ~16x).  Instead:
+
+          1. k-means the arena into ~``n/cluster_target`` clusters
+             (sampled Lloyd on the MXU, ops/kmeans.py);
+          2. each cluster's members become query blocks whose candidate
+             arena is the concatenation of the ``cluster_probes``
+             nearest clusters' members (a fixed-size gathered scan:
+             [block, S] score matmul + approx_max_k + the standard
+             heuristic selection) — pools are exact *within the probed
+             neighborhood*;
+          3. the symmetrize + overflow-prune + upper-layer machinery is
+             shared with the exact build unchanged.
+
+        Total scan cost O(n · probes · cluster_target · d) — linear in
+        n at fixed neighborhood size.  Boundary nodes whose true
+        neighbors fall outside the probed clusters get slightly weaker
+        pools; reciprocal symmetrize + the random long-range edges (and
+        the beam's ef margin at search time) absorb that — measured
+        recall stays above the 0.95 parity bar (RESULTS.md 4M section).
+        No reference analog: hnswlib builds sequentially point-by-point
+        (index.cc:20-37); this is the TPU-shaped equivalent of its
+        ef_construction candidate search, routed instead of walked.
+        Returns a DEVICE [padded, m0] int32 array (-1 beyond n)."""
+        from embeddinghub_tpu.ops import kmeans as km
+        from embeddinghub_tpu.ops import nn_descent as nnd
+
+        target = self.cluster_target
+        qb = min(target, 4096)
+        k = max(16, next_pow2(max(1, n // target), floor=16))
+        cent = km.fit_kmeans(
+            xd, k, iters=8, seed=11, limit=n,
+            sample=min(n, max(1 << 18, 64 * k)),
+        )
+        assign = km.assign_clusters(xd, cent)[:n]
+        probes = km.probe_order(cent)[:, : max(self.cluster_probes, 1)]
+
+        # host-side block planning: cluster-sorted members, per-cluster
+        # candidate arenas from the probe list
+        order = np.argsort(assign, kind="stable").astype(np.int32)
+        sorted_assign = assign[order]
+        starts = np.searchsorted(sorted_assign, np.arange(k))
+        ends = np.searchsorted(sorted_assign, np.arange(k), side="right")
+        members = [order[starts[c]:ends[c]] for c in range(k)]
+
+        S = next_pow2(self.cluster_probes * target, floor=qb)
+        q_blocks, c_blocks = [], []
+        for c in range(k):
+            mem = members[c]
+            if mem.size == 0:
+                continue
+            cand = np.concatenate([members[p] for p in probes[c]])
+            if cand.size >= S:
+                cand = cand[:S]
+            else:
+                cand = np.concatenate(
+                    [cand, np.full(S - cand.size, -1, np.int32)]
+                )
+            for s in range(0, mem.size, qb):
+                blk = mem[s : s + qb]
+                if blk.size < qb:
+                    blk = np.concatenate(
+                        [blk, np.full(qb - blk.size, blk[0], np.int32)]
+                    )
+                q_blocks.append(blk)
+                c_blocks.append(cand)
+        q_blocks = np.stack(q_blocks).astype(np.int32)
+        c_blocks = np.stack(c_blocks).astype(np.int32)
+        n_blocks = q_blocks.shape[0]
+
+        pool_k = min(next_pow2(self.ef_construction, floor=64), S)
+        metric = self.metric if self.metric != "cosine" else "ip"
+        m0, prune_metric = self.m0, self.metric
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def cluster_fwd(xd, xsqd, fwd, qids_g, cids_g):
+            def step(fwd, inp):
+                qids, cids = inp
+                qv = xd[qids]
+                qsq = xsqd[qids]
+                safe_c = jnp.where(cids >= 0, cids, 0)
+                cv = xd[safe_c]
+                csq = xsqd[safe_c]
+                dots = jax.lax.dot_general(
+                    qv.astype(jnp.bfloat16),
+                    cv.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = 2.0 * dots - csq[None, :] if metric == "l2" else dots
+                s = jnp.where(cids[None, :] < 0, -jnp.inf, s)
+                s = jnp.where(cids[None, :] == qids[:, None], -jnp.inf, s)
+                vals, loc = jax.lax.approx_max_k(s, pool_k)
+                ids_b = jnp.where(
+                    jnp.isfinite(vals), jnp.take(cids, loc), -1
+                ).astype(jnp.int32)
+                sel = nnd.heuristic_prune(
+                    xd, xsqd, ids_b,
+                    m_keep=m0, metric=prune_metric, cand_k=pool_k,
+                    q=qv, q_sq=qsq,
+                )
+                return fwd.at[qids].set(sel[:, :m0]), None
+
+            fwd, _ = jax.lax.scan(step, fwd, (qids_g, cids_g))
+            return fwd
+
+        fwd = jnp.full((padded, m0), -1, jnp.int32)
+        # grouped dispatch with a sync point per group — same TPU-worker
+        # pacing rule as _exact_build_fwd (one giant dispatch crashed
+        # the relay worker at 1M)
+        group = min(n_blocks, 8)
+        for g0 in range(0, n_blocks, group):
+            gi = np.minimum(
+                g0 + np.arange(group, dtype=np.int64), n_blocks - 1
+            )
+            fwd = cluster_fwd(
+                xd, xsqd, fwd,
+                jnp.asarray(q_blocks[gi]), jnp.asarray(c_blocks[gi]),
+            )
+            np.asarray(fwd[0, 0])  # true sync point (worker pacing)
+        real = (jnp.arange(padded, dtype=jnp.int32) < n)[:, None]
+        return jnp.where(real & (fwd < n), fwd, -1)
 
     # ----------------------------------------------------- exact-scan build
 

@@ -287,3 +287,44 @@ def test_graph_churn_and_refine_repair(rng):
     probe = rng.choice(n, 64, replace=False)
     _, i1 = idx.search(x[probe] + 1e-5, 1, ef=64)
     assert (i1[:, 0] == probe).mean() >= 0.95
+
+
+def test_cluster_routed_build(rng):
+    """Cluster-routed construction (the >2M-rows/chip scaling path,
+    index/hnsw._cluster_build_fwd): k-means-routed near-exact pools must
+    land within a few recall points of the exact-scan build, and the
+    graph must behave identically downstream (search, snapshot, stream).
+
+    Forced here by dropping `exact_build_max` below n; worst-case
+    (unclustered gaussian) data so routing gets no free lunch."""
+    n, d, k = 8192, 24, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((64, d)).astype(np.float32)
+    oracle = oracle_topk(q, x, k)
+
+    idx = HNSWIndex(d, m=16, ef_construction=100, capacity=n)
+    idx.exact_build_max = 1024      # force the cluster path at n=8192
+    idx.cluster_target = 512
+    idx.cluster_probes = 4          # scans 4/16 of the arena per pool
+    idx.add(np.arange(n), x)
+
+    def recall(index, ef):
+        _, got = index.search(q, k, ef=ef)
+        return np.mean(
+            [len(set(got[i]) & set(oracle[i])) / k for i in range(len(q))]
+        )
+
+    r100 = recall(idx, 100)
+    assert r100 >= 0.93, r100
+
+    # streamed rows on top of a cluster-built core stay findable
+    extra = rng.standard_normal((256, d)).astype(np.float32)
+    idx.add(np.arange(n, n + 256), extra)
+    _, got = idx.search(extra[::16], 1, ef=80)
+    assert (got[:, 0] == np.arange(n, n + 256)[::16]).mean() >= 0.9
+
+    # snapshot arrays round-trip the cluster-built graph
+    arrays = idx.state_arrays()
+    idx2 = HNSWIndex.from_state(d, "l2", arrays)
+    r2 = recall(idx2, 100)
+    assert r2 >= r100 - 0.02, (r100, r2)
