@@ -102,7 +102,10 @@ def main():
     import jax.numpy as jnp
 
     from embeddinghub_tpu.ops import topk as topk_ops
-    from embeddinghub_tpu.ops.pallas_topk import fused_topk_search
+    from embeddinghub_tpu.ops.pallas_topk import (
+        fused_topk_search,
+        fused_topk_search_v2,
+    )
 
     # align to both the XLA chunk (65536) and the pallas chunk (2048)
     n = -(-args.n // 65536) * 65536
@@ -165,6 +168,21 @@ def main():
                               interpret=False, exact=exact,
                               block_b=min(b, 256)),
             (q, x, valid, x_sq), scan_f32, flops,
+        ))
+
+    # --- Pallas v2: group-reduced selection, f32 + bf16 arenas ---
+    xt = x.T
+    xt_bf16 = xt.astype(jnp.bfloat16)
+    for name, arena, sbytes in (
+        ("pallas_v2_f32", xt, scan_f32),
+        ("pallas_v2_bf16arena", xt_bf16, n * d * 2),
+    ):
+        runs.append((
+            f"fused_topk_search_v2({name})",
+            functools.partial(fused_topk_search_v2, k=k, metric="l2",
+                              interpret=False,
+                              block_b=min(b, 1024)),
+            (q, arena, valid, x_sq), sbytes, flops,
         ))
 
     # --- int8 quantized path ---

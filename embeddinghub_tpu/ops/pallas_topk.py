@@ -1,18 +1,33 @@
-"""Pallas fused distance + top-k kernel.
+"""Pallas fused distance + top-k kernels.
 
 The speed-of-light form of the engine's hot loop: stream index chunks
 HBM -> VMEM, compute the score matmul on the MXU, and keep the running
 top-k entirely in VMEM scratch — the ``[B, N]`` score matrix never
 exists in HBM (the pure-XLA paths materialize each chunk's scores).
 
-Mosaic has no ``top_k`` lowering, so selection is K rounds of masked
-row-argmin over a combined ``[B, C + K]`` VMEM buffer (scores of the
-current chunk ++ the running best).  Each round costs one VPU pass;
-K << C keeps the MXU matmul dominant.
+Two generations:
+
+* ``fused_topk_search`` (v1, exact) — Mosaic has no ``top_k``
+  lowering, so selection is K rounds of masked row-argmin over a
+  combined ``[B, C + K]`` VMEM buffer (scores of the current chunk ++
+  the running best).  Measured r2: the K VPU passes over the full
+  chunk dominate (41.5 ms vs approx_max_k's 3.4 ms at 1M/1024q) —
+  kept as the exact reference kernel.
+
+* ``fused_topk_search_v2`` (approx, serving-grade) — the selection
+  redesign: each 128-lane column group is reduced to its single best
+  (min + argmin, two lane reductions fused right after that group's
+  own [B, d]x[d, 128] MXU tile), so per chunk only ``C/128``
+  candidates enter the running-best merge and the K argmin rounds run
+  over a tiny ``[B, C/128 + K]`` buffer.  With a bf16 arena the HBM
+  stream halves too.  Keeping one winner per 128 columns is the same
+  approximation ``approx_max_k`` makes (recall ~0.998 for k=16 at 1M
+  rows); the engine's f32 rerank sits downstream either way.
 
 Grid: ``(B_blocks, n_chunks)`` — chunks iterate innermost, so the
 scratch carries the running top-k across a full sweep per query block
-and resets at chunk 0.
+and resets at chunk 0; pallas grid pipelining double-buffers the
+chunk DMA.
 """
 
 from __future__ import annotations
@@ -157,6 +172,155 @@ def fused_topk_search(
     )(
         q,
         x.T,  # [D, cap] so each chunk block is [D, C]
+        x_sq.reshape(1, -1),
+        valid.astype(jnp.int32).reshape(1, -1),
+    )
+
+    if metric == "l2":
+        qsq = jnp.einsum("bd,bd->b", q, q)
+        out_d = jnp.maximum(out_d + qsq[:, None], 0.0)
+    else:
+        out_d = 1.0 + out_d  # score was -dot
+    out_d = jnp.where(out_i >= 0, out_d, INF)
+    return out_d, out_i
+
+
+LANES = 128
+
+
+def _kernel_v2(q_ref, xt_ref, sq_ref, valid_ref, od_ref, oi_ref,
+               gm, ga, comb, best_d, best_i, *, k, metric, chunk):
+    ci = pl.program_id(1)
+    groups = chunk // LANES
+
+    @pl.when(ci == 0)
+    def _():
+        best_d[:] = jnp.full_like(best_d, INF)
+        best_i[:] = jnp.full_like(best_i, -1)
+
+    qv = q_ref[:].astype(jnp.bfloat16)
+
+    # --- per-group MXU tile + fused lane reduction: each [B, d] x
+    # [d, 128] product collapses straight to its column-group winner,
+    # so the full [B, C] score block never exists ---
+    for g in range(groups):
+        lo = g * LANES
+        dots = jnp.dot(
+            qv,
+            xt_ref[:, lo:lo + LANES].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # [B, 128]
+        if metric == "l2":
+            sc = sq_ref[0, lo:lo + LANES].reshape(1, -1) - 2.0 * dots
+        else:
+            sc = -dots
+        sc = jnp.where(
+            valid_ref[0, lo:lo + LANES].reshape(1, -1) != 0, sc, INF
+        )
+        gm[:, g:g + 1] = jnp.min(sc, axis=1, keepdims=True)
+        ga[:, g:g + 1] = jnp.argmin(sc, axis=1).astype(jnp.int32)[:, None]
+
+    b = gm.shape[0]
+    base = ci * chunk
+
+    # --- merge the C/128 group winners into the running best: the
+    # same K-round masked argmin as v1, but over [B, G + K] ---
+    comb[:, :groups] = gm[:]
+    comb[:, groups:] = best_d[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, groups + k), 1)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (b, groups), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
+    def round_body(j, _):
+        m = jnp.min(comb[:], axis=1)
+        a = jnp.argmin(comb[:], axis=1).astype(jnp.int32)
+        from_chunk = a < groups
+        # in-group offset of the winning group (one-hot: no gathers)
+        sel_g = (gcol == a[:, None]) & from_chunk[:, None]
+        off = jnp.sum(jnp.where(sel_g, ga[:], 0), axis=1)
+        sel_k = (kcol == (a - groups)[:, None]) & ~from_chunk[:, None]
+        prev_ids = jnp.sum(jnp.where(sel_k, best_i[:], 0), axis=1)
+        new_id = jnp.where(from_chunk, base + a * LANES + off, prev_ids)
+        new_id = jnp.where(jnp.isfinite(m), new_id, -1)
+        hit = kcol == j
+        od_ref[:] = jnp.where(hit, m[:, None], od_ref[:])
+        oi_ref[:] = jnp.where(hit, new_id[:, None], oi_ref[:])
+        comb[:] = jnp.where(col == a[:, None], INF, comb[:])
+        return 0
+
+    jax.lax.fori_loop(0, k, round_body, 0)
+
+    best_d[:] = od_ref[:]
+    best_i[:] = oi_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "chunk", "block_b", "interpret"),
+)
+def fused_topk_search_v2(
+    q: jax.Array,      # [B, D] f32
+    xt: jax.Array,     # [D, cap] pre-transposed arena (bf16 halves HBM)
+    valid: jax.Array,  # [cap] bool
+    x_sq: jax.Array,   # [cap] f32
+    *,
+    k: int = 16,
+    metric: str = "l2",
+    chunk: int = 4096,
+    block_b: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Approx k-NN candidates via the v2 fused kernel (one winner per
+    128-column group, bf16 MXU tiles).  ``cap`` must be a chunk
+    multiple and ``B`` a block multiple (callers pad).  Scores are
+    bf16-graded; run the engine's f32 rerank downstream for exact
+    distances (reference hot loop: embeddingstore/index.cc:41-51)."""
+    b, d = q.shape
+    cap = xt.shape[1]
+    if cap % chunk or b % block_b or chunk % LANES:
+        raise ValueError(f"shape not aligned: cap={cap} chunk={chunk} B={b}")
+    n_chunks = cap // chunk
+    groups = chunk // LANES
+    grid = (b // block_b, n_chunks)
+
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+
+    kernel = functools.partial(_kernel_v2, k=k, metric=metric, chunk=chunk)
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, d), lambda bi, ci: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, chunk), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, k), lambda bi, ci: (bi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, k), lambda bi, ci: (bi, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, groups), jnp.float32),
+            pltpu.VMEM((block_b, groups), jnp.int32),
+            pltpu.VMEM((block_b, groups + k), jnp.float32),
+            pltpu.VMEM((block_b, k), jnp.float32),
+            pltpu.VMEM((block_b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * cap * d + 4 * b * cap,
+            bytes_accessed=cap * d * xt.dtype.itemsize + b * d * 4 + b * k * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        q,
+        xt,
         x_sq.reshape(1, -1),
         valid.astype(jnp.int32).reshape(1, -1),
     )
