@@ -309,6 +309,13 @@ def _run_materialize(
     feat: FeatureVariant = coord.metadata.get(rid)  # type: ignore[assignment]
     if feat.on_demand_fn is not None:
         return
+    if feat.stream:
+        # stream feature: provision the inference-store table only;
+        # values arrive by direct writes (reference StreamFeature)
+        online = coord.provider_for(feat.provider).as_online_store()
+        online.create_table(feat.name, feat.variant, feat.value_type)
+        run.log("provisioned stream inference table")
+        return
     sname, svariant = feat.source
     src: SourceVariant = coord.metadata.get(
         ResourceID(ResourceType.SOURCE_VARIANT, sname, svariant)

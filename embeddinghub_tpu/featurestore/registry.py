@@ -349,6 +349,31 @@ class Registrar:
             **kw,
         )
 
+    def register_hdfs(
+        self, name: str = "hdfs", host: str = "", port: int = 9000,
+        path: str = "", username: str = "hdfs", **kw
+    ) -> Provider:
+        """HDFS filestore seat (reference register.py register_hdfs)."""
+        return self.register_provider(
+            name, "HDFS_FILESTORE",
+            {"host": host, "port": port, "path": path,
+             "username": username}, **kw,
+        )
+
+    def register_snowflake_legacy(
+        self, name: str = "snowflake-legacy", username: str = "",
+        password: str = "", account_locator: str = "", database: str = "",
+        schema: str = "PUBLIC", warehouse: str = "", role: str = "", **kw
+    ) -> Provider:
+        """Account-locator form of the Snowflake config (reference
+        register.py register_snowflake_legacy)."""
+        return self.register_provider(
+            name, "SNOWFLAKE_OFFLINE",
+            {"username": username, "password": password,
+             "account_locator": account_locator, "database": database,
+             "schema": schema, "warehouse": warehouse, "role": role}, **kw,
+        )
+
     # -------------------------------------------------------------- sources
 
     def register_primary_data(
@@ -363,6 +388,69 @@ class Registrar:
             SourceVariant(
                 name=name, variant=variant, provider=provider, primary=location, **kw
             )
+        )
+
+    # typed primary-data locations (reference register.py's
+    # register_table / register_file / register_parquet_file /
+    # register_iceberg_table / register_delta_table — thin wrappers
+    # producing the location dict register_primary_data stores)
+
+    def register_table(
+        self, name: str, provider: str, table: str,
+        schema: str = "", database: str = "", variant: str = "default", **kw
+    ) -> SourceVariant:
+        loc: dict = {"table": table}
+        if schema:
+            loc["schema"] = schema
+        if database:
+            loc["database"] = database
+        return self.register_primary_data(name, provider, loc,
+                                          variant=variant, **kw)
+
+    def register_file(
+        self, name: str, provider: str, file_path: str,
+        variant: str = "default", **kw
+    ) -> SourceVariant:
+        return self.register_primary_data(
+            name, provider, {"path": file_path}, variant=variant, **kw
+        )
+
+    def register_parquet_file(
+        self, name: str, provider: str, file_path: str,
+        variant: str = "default", **kw
+    ) -> SourceVariant:
+        return self.register_primary_data(
+            name, provider, {"path": file_path, "format": "parquet"},
+            variant=variant, **kw,
+        )
+
+    def register_directory(
+        self, name: str, provider: str, path: str,
+        variant: str = "default", **kw
+    ) -> SourceVariant:
+        return self.register_primary_data(
+            name, provider, {"path": path, "directory": True},
+            variant=variant, **kw,
+        )
+
+    def register_iceberg_table(
+        self, name: str, provider: str, database: str, table: str,
+        variant: str = "default", **kw
+    ) -> SourceVariant:
+        return self.register_primary_data(
+            name, provider,
+            {"database": database, "table": table, "table_format": "iceberg"},
+            variant=variant, **kw,
+        )
+
+    def register_delta_table(
+        self, name: str, provider: str, database: str, table: str,
+        variant: str = "default", **kw
+    ) -> SourceVariant:
+        return self.register_primary_data(
+            name, provider,
+            {"database": database, "table": table, "table_format": "delta"},
+            variant=variant, **kw,
         )
 
     def sql_transformation(
@@ -516,6 +604,54 @@ class Registrar:
                 entity_column=entity_column,
                 value_column=value_column,
                 timestamp_column=timestamp_column,
+                **kw,
+            )
+        )
+
+    def register_feature_stream(
+        self,
+        name: str,
+        entity: str,
+        value_type: str,
+        offline_provider: str,
+        inference_store: str,
+        variant: str = "default",
+        **kw,
+    ) -> FeatureVariant:
+        """Stream feature: no batch source/materialization — values
+        arrive by direct writes to the online store, with the offline
+        provider as the durability seat (reference StreamFeature,
+        register.py register_feature_stream)."""
+        return self._add(
+            FeatureVariant(
+                name=name,
+                variant=variant,
+                entity=entity,
+                value_type=value_type,
+                provider=inference_store,
+                offline_provider=offline_provider,
+                stream=True,
+                **kw,
+            )
+        )
+
+    def register_label_stream(
+        self,
+        name: str,
+        entity: str,
+        value_type: str,
+        offline_provider: str,
+        variant: str = "default",
+        **kw,
+    ) -> LabelVariant:
+        return self._add(
+            LabelVariant(
+                name=name,
+                variant=variant,
+                entity=entity,
+                value_type=value_type,
+                offline_provider=offline_provider,
+                stream=True,
                 **kw,
             )
         )

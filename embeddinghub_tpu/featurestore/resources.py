@@ -285,12 +285,19 @@ class FeatureVariant(Resource):
     is_embedding: bool = False
     on_demand_fn: Any = None     # client-side on-demand feature function
     refresh_interval_s: float = 0.0  # scheduled re-materialization
+    # stream features have no batch source: values arrive by direct
+    # writes (reference StreamFeature, register.py register_feature_stream)
+    stream: bool = False
+    offline_provider: str = ""   # stream durability seat
 
     def needs_job(self) -> bool:
-        return self.on_demand_fn is None  # materialization task
+        # on-demand functions have no task at all; streams get a task
+        # that only provisions the inference-store table (no batch
+        # materialization — values arrive by direct writes)
+        return self.on_demand_fn is None
 
     def dependencies(self) -> list[ResourceID]:
-        if self.on_demand_fn is not None:
+        if self.on_demand_fn is not None or self.stream:
             return []
         return [ResourceID(ResourceType.SOURCE_VARIANT, *self.source)]
 
@@ -316,11 +323,15 @@ class LabelVariant(Resource):
     entity_column: str = ""
     value_column: str = ""
     timestamp_column: str = ""
+    stream: bool = False         # see FeatureVariant.stream
+    offline_provider: str = ""
 
     def needs_job(self) -> bool:
         return False
 
     def dependencies(self) -> list[ResourceID]:
+        if self.stream:
+            return []
         return [ResourceID(ResourceType.SOURCE_VARIANT, *self.source)]
 
 

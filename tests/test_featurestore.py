@@ -382,3 +382,61 @@ def test_external_provider_builders_register_and_apply():
     with pytest.raises(Exception) as ei:
         base.get_provider("POSTGRES_OFFLINE", pg.config)
     assert "POSTGRES_OFFLINE" in str(ei.value)
+
+
+def test_typed_locations_and_stream_registrations():
+    """register.py parity: typed dataset locations (table / file /
+    parquet / iceberg / delta), hdfs + snowflake-legacy providers, and
+    stream feature/label registrations (StreamFeature: no batch source,
+    no materialization task)."""
+    from embeddinghub_tpu.featurestore.registry import Client, Registrar
+    from embeddinghub_tpu.featurestore.resources import (
+        ResourceID,
+        ResourceType,
+        Status,
+    )
+
+    reg = Registrar()
+    reg.register_hdfs(host="nn", port=9000, path="/data")
+    reg.register_snowflake_legacy(account_locator="xy12345")
+    spark = reg.register_spark(name="spark")
+    reg.register_table("tx_table", "spark", table="transactions",
+                       schema="fraud")
+    reg.register_file("tx_file", "spark",
+                      file_path="s3://bucket/transactions.csv")
+    reg.register_parquet_file("tx_parquet", "spark",
+                              file_path="s3://bucket/tx.parquet")
+    reg.register_directory("tx_dir", "spark", path="s3://bucket/tx/")
+    reg.register_iceberg_table("tx_ice", "spark", database="fraud",
+                               table="transactions")
+    reg.register_delta_table("tx_delta", "spark", database="fraud",
+                             table="transactions")
+    reg.register_entity("user")
+    reg.register_memory_online(name="online")
+    reg.register_sqlite_offline(name="offline")
+    f = reg.register_feature_stream(
+        "click_rate", entity="user", value_type="float32",
+        offline_provider="offline", inference_store="online")
+    lab = reg.register_label_stream(
+        "clicked", entity="user", value_type="bool",
+        offline_provider="offline")
+    assert spark.name == "spark"
+    # streams have no batch source: no dependencies, but they do get a
+    # job that provisions the inference-store table
+    assert f.stream and f.needs_job() and f.dependencies() == []
+    assert lab.stream and lab.dependencies() == []
+
+    client = Client(registrar=reg)
+    client.apply(wait=True)
+    store = client.metadata
+    ice = store.get(
+        ResourceID(ResourceType.SOURCE_VARIANT, "tx_ice", "default"))
+    assert ice.primary["table_format"] == "iceberg"
+    pq = store.get(
+        ResourceID(ResourceType.SOURCE_VARIANT, "tx_parquet", "default"))
+    assert pq.primary["format"] == "parquet"
+    # stream feature applied without a materialization task
+    fv = store.get(
+        ResourceID(ResourceType.FEATURE_VARIANT, "click_rate", "default"))
+    assert fv.stream
+    assert fv.status not in (Status.FAILED, Status.RUNNING)
