@@ -54,7 +54,7 @@ def _pairwise_to_neighbors(q, nvecs, metric, nsq):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "ef", "expand", "max_hops"),
+    static_argnames=("metric", "ef", "expand", "max_hops", "with_hops"),
 )
 def beam_search(
     q: jax.Array,           # [B, D] queries (f32)
@@ -68,11 +68,15 @@ def beam_search(
     ef: int = 64,
     expand: int = 4,
     max_hops: int = 256,
+    with_hops: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Beam search one layer from ``entry_ids``.
 
     Returns ``(dist [B, ef], ids [B, ef])`` sorted nearest-first
-    (+inf / -1 padding).  All ids are row indices into ``x``.
+    (+inf / -1 padding); with ``with_hops`` a third scalar — the
+    number of while-loop iterations the batch took (perf diagnostics:
+    hops x per-hop gather bytes = the HBM traffic of the walk).
+    All ids are row indices into ``x``.
     """
     b, d = q.shape
     m = neighbors.shape[1]
@@ -154,6 +158,8 @@ def beam_search(
 
     state = (pool_d, pool_i, pool_x, jnp.int32(0))
     pool_d, pool_i, pool_x, hops = jax.lax.while_loop(cond, body, state)
+    if with_hops:
+        return pool_d, pool_i, hops
     return pool_d, pool_i
 
 

@@ -323,8 +323,13 @@ def test_cluster_routed_build(rng):
     _, got = idx.search(extra[::16], 1, ef=80)
     assert (got[:, 0] == np.arange(n, n + 256)[::16]).mean() >= 0.9
 
-    # snapshot arrays round-trip the cluster-built graph
+    # snapshot arrays round-trip the cluster-built graph: the restored
+    # index must answer exactly like the live (post-stream) one.  NOTE:
+    # comparing against `oracle` here would be wrong — the 256 streamed
+    # rows come from the same distribution and legitimately displace
+    # pre-stream top-k entries.
     arrays = idx.state_arrays()
     idx2 = HNSWIndex.from_state(d, "l2", arrays)
-    r2 = recall(idx2, 100)
-    assert r2 >= r100 - 0.02, (r100, r2)
+    _, live = idx.search(q, k, ef=100)
+    _, restored = idx2.search(q, k, ef=100)
+    np.testing.assert_array_equal(restored, live)
