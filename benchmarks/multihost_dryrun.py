@@ -21,7 +21,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(process_id: int, num_processes: int, local_devices: int, port: int):
+def worker(process_id: int, num_processes: int, local_devices: int, port: int,
+           rows_per_device: int = 128, dims: int = 16):
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
     os.environ["XLA_FLAGS"] = (
@@ -45,8 +46,14 @@ def worker(process_id: int, num_processes: int, local_devices: int, port: int):
 
     n_dev = num_processes * local_devices
     mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), (SHARD_AXIS,))
-    cap_local, d, b, k = 128, 16, 8, 4
+    # --rows-per-device scales the flat leg to config-5-relevant shard
+    # sizes (VERDICT r2 item 4: >= 1M rows per process) while the
+    # default stays tiny for the driver/test dryrun.
+    cap_local, d, b, k = rows_per_device, dims, 8, 4
     cap = cap_local * n_dev
+    chunk = min(cap_local, 1 << 17)
+    while cap_local % chunk:
+        chunk >>= 1
 
     rng = np.random.default_rng(0)
     x_global = rng.standard_normal((cap, d)).astype(np.float32)
@@ -73,7 +80,7 @@ def worker(process_id: int, num_processes: int, local_devices: int, port: int):
 
     def local_search(q, x, valid, x_sq):
         dist, idx = chunked_topk_search(
-            q, x, valid, x_sq, metric="l2", k=k, chunk=cap_local
+            q, x, valid, x_sq, metric="l2", k=k, chunk=chunk
         )
         shard = jax.lax.axis_index(SHARD_AXIS)
         idx = jnp.where(idx >= 0, idx + shard * cap_local, -1)
@@ -93,11 +100,21 @@ def worker(process_id: int, num_processes: int, local_devices: int, port: int):
             check_vma=False,
         )
     )
+    import time as _time
+
+    dist, idx = fn(qd, xg, valid, xsq)
+    t0 = _time.perf_counter()
     dist, idx = fn(qd, xg, valid, xsq)
     got = np.asarray(jax.device_get(idx))[:, 0]
+    search_s = _time.perf_counter() - t0
     assert (got == targets).all(), (got, targets)
     if process_id == 0:
-        print(f"PASS multihost {num_processes}x{local_devices}: top-1 {got.tolist()}", flush=True)
+        print(
+            f"PASS multihost {num_processes}x{local_devices}: "
+            f"{cap_local} rows/device x {d}d, top-1 {got.tolist()}, "
+            f"sharded search {search_s*1e3:.0f} ms",
+            flush=True,
+        )
 
     # --- HBM shard snapshot / restore across the process boundary ---
     # Each process persists ONLY its addressable shards (the real
@@ -179,10 +196,13 @@ def main():
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--port", type=int, default=29711)
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--rows-per-device", type=int, default=128)
+    ap.add_argument("--dims", type=int, default=16)
     args = ap.parse_args()
 
     if args.worker is not None:
-        worker(args.worker, args.procs, args.local_devices, args.port)
+        worker(args.worker, args.procs, args.local_devices, args.port,
+               args.rows_per_device, args.dims)
         return
 
     procs = []
@@ -196,6 +216,8 @@ def main():
                     "--procs", str(args.procs),
                     "--local-devices", str(args.local_devices),
                     "--port", str(args.port),
+                    "--rows-per-device", str(args.rows_per_device),
+                    "--dims", str(args.dims),
                 ],
             )
         )
