@@ -42,10 +42,18 @@ def rep(**kv):
     print(json.dumps(kv), flush=True)
 
 
+NOISE = 0.35
+
+
 def gen_chunk(rng, centers, start, count, dims):
-    """Clustered rows (Deep-style data has strong cluster structure)."""
+    """Clustered rows (Deep-style data has strong cluster structure).
+    ``NOISE`` (--noise) sets the intra-cluster spread: 0.35 is the
+    adversarial near-duplicate regime (~10k rows per cluster whose
+    score gaps sit below int8 noise — int8 recall 0.44 at 10M, the
+    case the quant guard escalates); ~1.0 is the separable regime
+    where int8's 1-byte scan is the right trade."""
     assign = rng.integers(0, CENTERS, count)
-    out = centers[assign] + 0.35 * rng.standard_normal(
+    out = centers[assign] + NOISE * rng.standard_normal(
         (count, dims)
     ).astype(np.float32)
     return out.astype(np.float32)
@@ -85,7 +93,10 @@ def main():
                     choices=["int8", "int8x2", "bfloat16"],
                     help="device arena dtype (int8x2: hi+lo residual, "
                          "2 bytes/elem, near-exact rerank)")
+    ap.add_argument("--noise", type=float, default=NOISE,
+                    help="intra-cluster spread (see gen_chunk)")
     args = ap.parse_args()
+    globals()["NOISE"] = args.noise
 
     import jax
 

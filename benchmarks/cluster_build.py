@@ -143,6 +143,9 @@ def main():
                     help="route through the cluster build below 2M")
     ap.add_argument("--gt-file", default=None,
                     help="npz cache for train/test/gt")
+    ap.add_argument("--data-file", default=None,
+                    help="npz cache for train/test only (lets the "
+                         "CPU-bound data gen run ahead of the TPU run)")
     args = ap.parse_args()
 
     from embeddinghub_tpu.index.hnsw import HNSWIndex
@@ -153,8 +156,15 @@ def main():
         train, test, gt = z["train"], z["test"], z["gt"]
         print(f"loaded {args.gt_file}", flush=True)
     else:
-        train, test = sift_desc_chunked(args.n, args.nq, args.dims)
-        print(f"data ready in {time.time()-t0:.0f}s", flush=True)
+        if args.data_file and os.path.exists(args.data_file):
+            z = np.load(args.data_file)
+            train, test = z["train"], z["test"]
+            print(f"loaded data {args.data_file}", flush=True)
+        else:
+            train, test = sift_desc_chunked(args.n, args.nq, args.dims)
+            print(f"data ready in {time.time()-t0:.0f}s", flush=True)
+            if args.data_file:
+                np.savez(args.data_file, train=train, test=test)
         t0 = time.time()
         gt = tpu_ground_truth(train, test, args.k)
         print(f"ground truth in {time.time()-t0:.0f}s", flush=True)

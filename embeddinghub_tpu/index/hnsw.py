@@ -41,6 +41,17 @@ from embeddinghub_tpu.index.base import Index, as_f32_matrix, next_pow2
 from embeddinghub_tpu.ops import beam as beam_ops
 from embeddinghub_tpu.ops import distance as dist_ops
 
+
+def _vlog(msg: str) -> None:
+    """Build-phase progress prints, enabled by EHTPU_VERBOSE=1 (bulk
+    builds at 1M+ rows run for minutes behind remote dispatch; silent
+    phases are undebuggable when the tunnel worker wedges)."""
+    import os as _os
+    import time as _time
+
+    if _os.environ.get("EHTPU_VERBOSE"):
+        print(f"  [hnsw +{_time.time() % 1e5:.0f}s] {msg}", flush=True)
+
 _BUCKETS = (1, 8, 64, 256, 1024)
 
 import functools
@@ -422,14 +433,17 @@ class HNSWIndex(Index):
             # refine rounds (beam re-search of every node on the built
             # graph, also sub-quadratic) recover them.
             fwd = self._cluster_build_fwd(xd, xsq, n, padded)
+            _vlog("symmetrize")
             nb_local = self._symmetrize_device(fwd, xd, xsq, n, padded)
             if self.cluster_refine_rounds:
+                _vlog(f"refine x{self.cluster_refine_rounds}")
                 save = self.refine_rounds
                 self.refine_rounds = self.cluster_refine_rounds
                 try:
                     nb_local = self._bulk_refine(xd, xsq, nb_local, n, padded)
                 finally:
                     self.refine_rounds = save
+            _vlog("layer0 done")
         else:
             m0 = min(self.m0, 32)
             nb = nnd.nn_descent(
@@ -626,18 +640,33 @@ class HNSWIndex(Index):
         (index.cc:20-37); this is the TPU-shaped equivalent of its
         ef_construction candidate search, routed instead of walked.
         Returns a DEVICE [padded, m0] int32 array (-1 beyond n)."""
+        import os as _os
+        import time as _time
+
         from embeddinghub_tpu.ops import kmeans as km
         from embeddinghub_tpu.ops import nn_descent as nnd
 
+        verbose = bool(_os.environ.get("EHTPU_VERBOSE"))
+
+        def vlog(msg):
+            if verbose:
+                print(f"  [cluster_build +{_time.time()-_t0:.0f}s] {msg}",
+                      flush=True)
+
+        _t0 = _time.time()
         target = self.cluster_target
         qb = min(target, 4096)
         k = max(16, next_pow2(max(1, n // target), floor=16))
+        vlog(f"kmeans fit: k={k} n={n}")
         cent = km.fit_kmeans(
             xd, k, iters=8, seed=11, limit=n,
             sample=min(n, max(1 << 18, 64 * k)),
         )
+        cent.block_until_ready()
+        vlog("assign_clusters")
         assign = km.assign_clusters(xd, cent)[:n]
         probes = km.probe_order(cent)[:, : max(self.cluster_probes, 1)]
+        vlog("block planning")
 
         # host-side block planning: cluster-sorted members, per-cluster
         # candidate arenas from the probe list
@@ -713,6 +742,8 @@ class HNSWIndex(Index):
         # pacing rule as _exact_build_fwd (one giant dispatch crashed
         # the relay worker at 1M)
         group = min(n_blocks, 8)
+        vlog(f"routed scan: {n_blocks} blocks of {qb} (S={S}), "
+             f"group={group}")
         for g0 in range(0, n_blocks, group):
             gi = np.minimum(
                 g0 + np.arange(group, dtype=np.int64), n_blocks - 1
@@ -722,6 +753,9 @@ class HNSWIndex(Index):
                 jnp.asarray(q_blocks[gi]), jnp.asarray(c_blocks[gi]),
             )
             np.asarray(fwd[0, 0])  # true sync point (worker pacing)
+            if verbose and (g0 // group) % 8 == 0:
+                vlog(f"scan {min(g0 + group, n_blocks)}/{n_blocks}")
+        vlog("routed scan done")
         real = (jnp.arange(padded, dtype=jnp.int32) < n)[:, None]
         return jnp.where(real & (fwd < n), fwd, -1)
 
@@ -849,12 +883,18 @@ class HNSWIndex(Index):
 
         bq = 4096 if n >= 4096 else next_pow2(n, floor=8)
         ids_self = np.arange(n, dtype=np.int32)
-        for ef in schedule:
+        for rnd, ef in enumerate(schedule):
+            _vlog(f"refine round {rnd + 1}/{len(schedule)} ef={ef}")
             nbd = jnp.asarray(nb_local)
-            # device-pipelined search: no per-block host sync; one
-            # readback per round
+            # device-pipelined search with BOUNDED in-flight depth: a
+            # small sync every `pace` blocks.  Queueing every block of a
+            # 1M-row round (245 beam while_loops) wedged the tunneled
+            # TPU worker the same way one giant dispatch did in
+            # _exact_build_fwd — pacing costs a few RTTs, a hang costs
+            # the build.
             blocks = []
-            for s in range(0, n, bq):
+            pace = 8
+            for bi, s in enumerate(range(0, n, bq)):
                 e = min(s + bq, n)
                 q = np.broadcast_to(xh[s], (bq, self.dims)).copy()
                 q[: e - s] = xh[s:e]
@@ -871,6 +911,10 @@ class HNSWIndex(Index):
                     max_hops=self.refine_hops,
                 )
                 blocks.append(idsb)
+                if (bi + 1) % pace == 0:
+                    np.asarray(idsb[0, 0])  # true sync (worker pacing)
+                    if (bi + 1) % (8 * pace) == 0:
+                        _vlog(f"  refine search {e}/{n}")
             found = np.asarray(jnp.concatenate(blocks, axis=0))[:n]
             cand = np.full((padded, ef + m0), -1, np.int32)
             cand[:n, :ef] = found
@@ -887,7 +931,12 @@ class HNSWIndex(Index):
                 )
             ).astype(np.int32)
             pruned[n:] = -1
-            nb_local = self._symmetrize_local(pruned, xd, xsqd, n, padded)
+            # device symmetrize (semantics identical to the host
+            # version; the numpy edge bookkeeping costs ~30 s per 256k
+            # rows on the single-core VM — minutes per round at 1M+)
+            nb_local = self._symmetrize_device(
+                jnp.asarray(pruned), xd, xsqd, n, padded
+            )
         return nb_local
 
     def _symmetrize_device(
