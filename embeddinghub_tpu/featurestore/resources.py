@@ -126,6 +126,49 @@ class Resource:
         return []
 
 
+def normalize_sql(text: str) -> str:
+    """Whitespace-normalized SQL, the reference's equivalence rule for
+    SQL transformations (``metadata/equivalence/source_variant.go``
+    isSqlEqual: collapse all whitespace runs, trim) so a re-registration
+    that only reformats the query dedupes instead of erroring."""
+    import re
+
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def canonicalize_fn_text(fn) -> str:
+    """Comment/docstring/whitespace-insensitive function text — the
+    reference canonicalizes transformation functions through the AST
+    before comparing (``client/src/featureform/parse.py``
+    canonicalize_function_definition) so formatting-only edits dedupe.
+    Decorators are dropped (the registration decorator itself must not
+    affect equivalence).  Falls back to raw source/text when the AST is
+    unavailable (lambdas inside expressions, interactive defs)."""
+    import ast
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+    except (OSError, TypeError):
+        return repr(fn)
+    try:
+        tree = ast.parse(src)
+    except (SyntaxError, ValueError):
+        return src.strip()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            node.decorator_list = []
+            if (
+                node.body
+                and isinstance(node.body[0], ast.Expr)
+                and isinstance(node.body[0].value, ast.Constant)
+                and isinstance(node.body[0].value.value, str)
+            ):
+                node.body = node.body[1:] or [ast.Pass()]
+    return ast.unparse(tree)
+
+
 # ------------------------------------------------------------- wire codec
 #
 # JSON-based resource serialization for network/disk transport.  This
@@ -260,13 +303,22 @@ class SourceVariant(Resource):
     def definition(self) -> dict[str, Any]:
         d = super().definition()
         tf = d.get("transformation")
-        if tf and callable(tf.get("df")):
-            import inspect
-
-            try:
-                tf["df"] = inspect.getsource(tf["df"])
-            except OSError:
-                tf["df"] = repr(tf["df"])
+        if tf and "sql" in tf and isinstance(tf.get("sql"), str):
+            # formatting-insensitive SQL equivalence (isSqlEqual,
+            # source_variant.go) — the stored resource keeps the
+            # original text; only the canonical definition normalizes
+            tf = dict(tf)
+            tf["sql"] = normalize_sql(tf["sql"])
+            d["transformation"] = tf
+        if tf and "df" in tf:
+            if callable(tf.get("df")):
+                tf = dict(tf)
+                tf["df"] = canonicalize_fn_text(tf["df"])
+                d["transformation"] = tf
+            # df transformations compare inputs as a SET (reference
+            # dfTransformation.IsEquivalent uses lib.ToSet on Inputs);
+            # SQL sources stay order-sensitive like the reference
+            d["inputs"] = sorted(tuple(i) for i in d.get("inputs", []))
         return d
 
 

@@ -440,3 +440,50 @@ def test_typed_locations_and_stream_registrations():
         ResourceID(ResourceType.FEATURE_VARIANT, "click_rate", "default"))
     assert fv.stream
     assert fv.status not in (Status.FAILED, Status.RUNNING)
+
+
+def test_equivalence_tolerates_formatting(client):
+    """Semantically-equal re-registrations dedupe instead of erroring:
+    whitespace-only SQL edits (reference isSqlEqual,
+    equivalence/source_variant.go), comment/docstring-only df edits
+    (canonicalize_function_definition, client parse.py), and reordered
+    df inputs (dfTransformation compares inputs as a set)."""
+    _register_basic(client)
+    reg = client.registrar
+
+    @reg.sql_transformation(name="fmt", provider="warehouse",
+                            inputs=[("events", "default")])
+    def fmt():
+        return "SELECT user_id, clicks FROM {{ events.default }}"
+
+    @reg.df_transformation(name="dfmt", provider="warehouse",
+                           inputs=[("events", "default"), ("fmt", "default")])
+    def dfmt(events, fmt):
+        return [dict(r) for r in events]
+
+    client.apply()
+
+    # whitespace-reformatted SQL -> same canonical definition -> dedupe
+    @reg.sql_transformation(name="fmt", provider="warehouse",
+                            inputs=[("events", "default")])
+    def fmt2():
+        return "SELECT   user_id,\n       clicks\nFROM {{ events.default }}  "
+
+    # comment/docstring-only df edit + reordered inputs -> dedupe
+    @reg.df_transformation(name="dfmt", provider="warehouse",
+                           inputs=[("fmt", "default"), ("events", "default")])
+    def dfmt(events, fmt):  # noqa: F811
+        """docstrings don't change semantics"""
+        # neither do comments
+        return [dict(r) for r in events]
+
+    client.apply()  # must not raise ResourceChangedError
+
+    # a REAL sql change still conflicts
+    @reg.sql_transformation(name="fmt", provider="warehouse",
+                            inputs=[("events", "default")])
+    def fmt3():
+        return "SELECT user_id, clicks * 3 FROM {{ events.default }}"
+
+    with pytest.raises(fferr.ResourceChangedError):
+        client.apply()
