@@ -138,7 +138,12 @@ def main():
     ap.add_argument("--efs", default="50,100,200")
     ap.add_argument("--target", type=int, default=4096)
     ap.add_argument("--probes", type=int, default=4)
-    ap.add_argument("--refine", type=int, default=2)
+    ap.add_argument("--refine", type=int, default=0,
+                    help="graph-walk refine rounds (gather-bound, "
+                         "~460s/262k rows/round at 1M; default off)")
+    ap.add_argument("--repair-frac", type=float, default=0.25,
+                    help="boundary-repair fraction (exact full-arena "
+                         "pools for the lowest-routing-margin rows)")
     ap.add_argument("--force-cluster", action="store_true",
                     help="route through the cluster build below 2M")
     ap.add_argument("--gt-file", default=None,
@@ -178,13 +183,15 @@ def main():
     idx.cluster_target = args.target
     idx.cluster_probes = args.probes
     idx.cluster_refine_rounds = args.refine
+    idx.cluster_repair_frac = args.repair_frac
 
     t0 = time.time()
     idx.add(np.arange(args.n), train)
     build_s = time.time() - t0
     report(event="build", n=args.n, target=args.target,
            probes=args.probes, refine=args.refine,
-           build_s=round(build_s, 1))
+           repair_frac=args.repair_frac, build_s=round(build_s, 1),
+           stats=getattr(idx, "_cluster_stats", None))
 
     for ef in [int(e) for e in args.efs.split(",")]:
         idx.search(test[:8], args.k, ef=ef)  # warm

@@ -139,7 +139,17 @@ class HNSWIndex(Index):
         self.cluster_build_max = 64_000_000
         self.cluster_target = 4_096   # rows per cluster ≈ query block
         self.cluster_probes = 4       # clusters scanned per pool
-        self.cluster_refine_rounds = 2  # graph repair after routed pools
+        # Post-routing repair.  Graph-walk refine rounds (_bulk_refine)
+        # were the r3 default but are GATHER-bound: ~460 s per 262k rows
+        # per round at 1M on the real chip (TPU row gathers run ~25 GB/s
+        # while the MXU scans at ~80 TFLOP/s).  Boundary repair instead
+        # re-pools only the lowest-routing-margin rows with an exact
+        # full-arena MXU scan (refine(rows)) — the rows whose routed
+        # pools can actually be wrong — at O(frac · n²·d / wave) scan
+        # cost and zero gathers.  cluster_refine_rounds stays as an
+        # opt-in extra.
+        self.cluster_repair_frac = 0.25
+        self.cluster_refine_rounds = 0  # opt-in graph-walk repair
         # `exact_full_max` is the BULK-construction ceiling: up to here
         # a cold add() builds the whole arena in one bulk pass (exact
         # scans through `exact_build_max`, cluster-routed beyond); past
@@ -258,6 +268,17 @@ class HNSWIndex(Index):
             commit_host(0, base, mark_dirty=True)
             self._bulk_build(pending[:base], pvecs[:base])
             self._invalidate_device()
+            route = getattr(self, "_cluster_route", None)
+            if route and route.pop("fresh", False) \
+                    and self.cluster_repair_frac > 0:
+                # boundary repair: exact full-arena pools for the rows
+                # whose routed pools were neighborhood-limited (see
+                # cluster knobs above) — the cluster path's default
+                # post-pass, replacing gather-bound graph-walk refine
+                b_rows = self.cluster_boundary_rows()
+                _vlog(f"boundary repair: {b_rows.size} rows")
+                if b_rows.size:
+                    self.refine(b_rows)
             pending, praw, pvecs = (
                 pending[base:], praw[base:], pvecs[base:]
             )
@@ -363,6 +384,12 @@ class HNSWIndex(Index):
                 q=qd, q_sq=jnp.einsum("wd,wd->w", qd, qd),
             )
             fwd = fwd.at[jnp.asarray(grp_p)].set(sel[:, : self.m0])
+            if (s // self.max_wave) % 8 == 7:
+                # bounded in-flight depth: sustained unsynced full-arena
+                # dispatches wedge the tunneled TPU worker (same pacing
+                # rule as _exact_build_fwd)
+                np.asarray(fwd[0, 0])
+                _vlog(f"refine pool {s + w}/{len(rows)}")
         nb0 = self._symmetrize_device(
             fwd, xd, xsqd, cap, cap
         )
@@ -372,6 +399,34 @@ class HNSWIndex(Index):
         self._nb0[:] = nb0
         state["nb0"] = jnp.asarray(nb0)
         self._host_stale = False
+
+    def cluster_boundary_rows(self, frac: float | None = None) -> np.ndarray:
+        """Global row ids of the lowest-routing-margin rows from the
+        last cluster-routed build — the rows whose candidate pools were
+        restricted to a probed neighborhood that their true neighbors
+        may straddle (ops/kmeans.boundary_margins).  Feed to
+        :meth:`refine` for exact boundary repair; that pair is the
+        cluster path's default post-pass (add())."""
+        route = getattr(self, "_cluster_route", None)
+        if not route:
+            return np.empty(0, np.int64)
+        from embeddinghub_tpu.ops import kmeans as km
+
+        frac = self.cluster_repair_frac if frac is None else frac
+        rows = route["rows"]
+        n = rows.size
+        take = int(n * max(0.0, min(1.0, frac)))
+        if take == 0:
+            return np.empty(0, np.int64)
+        # device-resident arena, gathered into build order (no wire
+        # cost; re-uploading 4M x 128 f32 would pay ~2 GB on the tunnel)
+        xd = self._device_arrays()["x"][jnp.asarray(rows)]
+        margins = km.boundary_margins(
+            xd, jnp.asarray(route["cent"]), route["assign"],
+            route["probes"],
+        )
+        order = np.argsort(margins, kind="stable")[:take]
+        return rows[order]
 
     # ------------------------------------------------------------- bulk build
 
@@ -433,6 +488,7 @@ class HNSWIndex(Index):
             # refine rounds (beam re-search of every node on the built
             # graph, also sub-quadratic) recover them.
             fwd = self._cluster_build_fwd(xd, xsq, n, padded)
+            self._cluster_route["rows"] = rows.astype(np.int64)
             _vlog("symmetrize")
             nb_local = self._symmetrize_device(fwd, xd, xsq, n, padded)
             if self.cluster_refine_rounds:
@@ -666,6 +722,17 @@ class HNSWIndex(Index):
         vlog("assign_clusters")
         assign = km.assign_clusters(xd, cent)[:n]
         probes = km.probe_order(cent)[:, : max(self.cluster_probes, 1)]
+        # stash routing state: boundary-node repair
+        # (cluster_boundary_rows) ranks nodes by how close the first
+        # UNPROBED centroid sits vs their own — those are the nodes
+        # whose routed pools may have missed true cross-boundary
+        # neighbors
+        self._cluster_route = {
+            "cent": np.asarray(cent, np.float32),
+            "assign": np.asarray(assign, np.int32),
+            "probes": np.asarray(probes, np.int32),
+            "fresh": True,
+        }
         vlog("block planning")
 
         # host-side block planning: cluster-sorted members, per-cluster
@@ -678,13 +745,40 @@ class HNSWIndex(Index):
 
         S = next_pow2(self.cluster_probes * target, floor=qb)
         q_blocks, c_blocks = [], []
+        # truncation accounting (exposed for tests/diagnostics): a probe
+        # list longer than the S-wide arena is cut probe-tail-first
+        # (own cluster rides at the front via probe_order's self-first
+        # sort), and an own cluster larger than S loses even own-cluster
+        # candidates — the regime VERDICT r3 flagged as untested
+        self._cluster_stats = stats = {
+            "clusters": 0, "truncated": 0, "own_truncated": 0,
+            "dropped_cands": 0, "total_cands": 0, "S": int(S),
+        }
         for c in range(k):
             mem = members[c]
             if mem.size == 0:
                 continue
+            stats["clusters"] += 1
             cand = np.concatenate([members[p] for p in probes[c]])
+            stats["total_cands"] += int(cand.size)
             if cand.size >= S:
-                cand = cand[:S]
+                stats["truncated"] += int(cand.size > S)
+                stats["dropped_cands"] += int(cand.size - S)
+                if mem.size > S:
+                    stats["own_truncated"] += 1
+                    # an oversized own cluster must not lose its own
+                    # members to an arbitrary id-order prefix cut:
+                    # spread the cut uniformly so every region of the
+                    # cluster keeps representation in the arena
+                    own_keep = max(S // 2, S - qb)
+                    cand = np.concatenate([
+                        mem[np.linspace(0, mem.size - 1, own_keep)
+                            .astype(np.int64)],
+                        cand[mem.size:],
+                        np.full(S, -1, np.int32),  # pad if probes empty
+                    ])[:S]
+                else:
+                    cand = cand[:S]
             else:
                 cand = np.concatenate(
                     [cand, np.full(S - cand.size, -1, np.int32)]

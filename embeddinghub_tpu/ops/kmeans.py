@@ -136,3 +136,61 @@ def probe_order(cent: jax.Array) -> np.ndarray:
         (c * c).sum(1)[:, None] - 2.0 * (c @ c.T) + (c * c).sum(1)[None, :]
     )
     return np.argsort(d2, axis=1, kind="stable").astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _margin_scan(xd, cent, assignd, probesd, chunk):
+    n = xd.shape[0]
+    csq = jnp.einsum("kd,kd->k", cent, cent)
+    centb = cent.T.astype(jnp.bfloat16)
+    p = probesd.shape[1]
+
+    def step(_, sl):
+        xc = jax.lax.dynamic_slice_in_dim(xd, sl, chunk)
+        a = jax.lax.dynamic_slice_in_dim(assignd, sl, chunk)
+        dots = jnp.dot(
+            xc.astype(jnp.bfloat16), centb,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = csq[None, :] - 2.0 * dots  # monotone in L2 (xsq constant/row)
+        d_own = jnp.take_along_axis(d2, a[:, None], axis=1)[:, 0]
+        pr = probesd[a]  # [chunk, p] probed centroid ids per row
+        rows = jnp.arange(chunk)[:, None]
+        masked = d2
+        for j in range(p):
+            masked = masked.at[rows[:, 0], pr[:, j]].set(jnp.inf)
+        return None, masked.min(axis=1) - d_own
+
+    _, parts = jax.lax.scan(
+        step, None, jnp.arange(0, n, chunk, dtype=jnp.int32)
+    )
+    return parts.reshape(-1)[:n]
+
+
+def boundary_margins(
+    xd: jax.Array,
+    cent: jax.Array,
+    assign: np.ndarray,
+    probes: np.ndarray,
+    limit: int | None = None,
+    chunk: int = 1 << 16,
+) -> np.ndarray:
+    """Per-row routing margin: distance to the nearest UNPROBED centroid
+    minus distance to the own centroid.  Small margin = the row sits at
+    the edge of its probed neighborhood, i.e. its cluster-routed
+    candidate pool may have missed true neighbors — these are the rows
+    boundary repair re-pools exactly (index/hnsw.cluster_boundary_rows).
+    One chunked [n, k] MXU matmul; k ≈ n/cluster_target stays tiny."""
+    n = xd.shape[0] if limit is None else min(limit, xd.shape[0])
+    chunk = min(chunk, n)
+    while n % chunk:
+        chunk //= 2
+    return np.asarray(
+        _margin_scan(
+            xd[:n],
+            cent,
+            jnp.asarray(assign[:n], jnp.int32),
+            jnp.asarray(probes, jnp.int32),
+            chunk,
+        )
+    )
