@@ -41,6 +41,97 @@ def _client(db: str | None) -> ff.Client:
     return ff.Client(metadata=metadata)
 
 
+def _deploy(args) -> int:
+    """Local-stack bootstrap: spawn/stop/poll the composed process
+    (``embeddinghub_tpu.main`` — store + serving + metadata + dashboard
+    + coordinator).  The reference's ``featureform deploy`` spins the
+    same single-binary stack inside docker (deploy.py DockerDeployment);
+    here the image has no docker, so the stack runs as a child process
+    tracked by a pid file."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import time
+    import urllib.request
+
+    def alive() -> int | None:
+        try:
+            pid = int(open(args.pid_file).read().strip())
+            os.kill(pid, 0)
+            return pid
+        except (OSError, ValueError):
+            return None
+
+    health_url = f"http://127.0.0.1:{args.http_port}/health"
+
+    if args.action == "status":
+        pid = alive()
+        if pid is None:
+            print("status: DOWN")
+            return 1
+        try:
+            body = urllib.request.urlopen(health_url, timeout=5).read()
+            print(f"status: UP (pid {pid})")
+            print(json.dumps(json.loads(body), indent=2))
+            return 0
+        except Exception as ex:
+            print(f"status: STARTING (pid {pid}; health: {ex})")
+            return 1
+
+    if args.action == "stop":
+        pid = alive()
+        if pid is None:
+            print("not running")
+            return 0
+        os.kill(pid, signal.SIGTERM)
+        for _ in range(50):
+            if alive() is None:
+                break
+            time.sleep(0.2)
+        try:
+            os.unlink(args.pid_file)
+        except OSError:
+            pass
+        print(f"stopped pid {pid}")
+        return 0
+
+    if alive() is not None:
+        print(f"already running (pid {alive()}); `deploy stop` first")
+        return 1
+    cmd = [
+        sys.executable, "-m", "embeddinghub_tpu.main",
+        "--store-port", str(args.store_port),
+        "--serving-port", str(args.serving_port),
+        "--metadata-port", str(args.metadata_port),
+        "--http-port", str(args.http_port),
+        "--data-dir", args.data_dir,
+    ]
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    with open(args.pid_file, "w") as f:
+        f.write(str(proc.pid))
+    deadline = time.time() + args.wait
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            print(f"stack exited early (code {proc.returncode})")
+            return 1
+        try:
+            urllib.request.urlopen(health_url, timeout=2)
+            print(
+                f"deployed (pid {proc.pid}): store=:{args.store_port} "
+                f"serving=:{args.serving_port} "
+                f"metadata=:{args.metadata_port} http=:{args.http_port}"
+            )
+            return 0
+        except Exception:
+            time.sleep(0.5)
+    print(f"started pid {proc.pid}, health not up after {args.wait}s")
+    return 1
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ehtpu")
     parser.add_argument("--db", default=None, help="sqlite metadata path")
@@ -62,7 +153,26 @@ def main(argv=None) -> int:
     p_search = sub.add_parser("search")
     p_search.add_argument("query")
 
+    p_deploy = sub.add_parser(
+        "deploy",
+        help="start/stop/query a local single-process stack (the "
+             "reference's `featureform deploy` quickstart, deploy.py, "
+             "rebuilt for the in-image composed binary main.py)",
+    )
+    p_deploy.add_argument("action", choices=["start", "stop", "status"],
+                          nargs="?", default="start")
+    p_deploy.add_argument("--data-dir", default="./embedding_store.dat")
+    p_deploy.add_argument("--store-port", type=int, default=7462)
+    p_deploy.add_argument("--serving-port", type=int, default=8081)
+    p_deploy.add_argument("--metadata-port", type=int, default=8080)
+    p_deploy.add_argument("--http-port", type=int, default=3001)
+    p_deploy.add_argument("--pid-file", default="/tmp/ehtpu_deploy.pid")
+    p_deploy.add_argument("--wait", type=float, default=30.0,
+                          help="seconds to wait for the stack health")
+
     args = parser.parse_args(argv)
+    if args.cmd == "deploy":
+        return _deploy(args)
     client = _client(args.db)
 
     if args.cmd == "apply":

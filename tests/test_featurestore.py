@@ -487,3 +487,53 @@ def test_equivalence_tolerates_formatting(client):
 
     with pytest.raises(fferr.ResourceChangedError):
         client.apply()
+
+
+def test_run_variant_autogeneration(client, monkeypatch):
+    """Resources registered with variant=None get the session "run"
+    variant (reference variant_names_generator + register.py's
+    __run wiring): timestamp-style under FF_GET_EQUIVALENT_VARIANTS
+    (default), adjective_noun otherwise; (name, None) references
+    resolve to the same run."""
+    reg = client.registrar
+    run = reg.run
+    assert run  # timestamp-style default: starts with a year digit
+    assert run[:2] == "20"
+
+    reg.register_user("alice")
+    reg.set_default_owner("alice")
+    reg.register_sqlite_offline("warehouse")
+    reg.register_memory_online("cache")
+    reg.register_entity("user")
+    reg.register_primary_data(
+        "events", provider="warehouse", variant=None,
+        location={"rows": ROWS})
+    f = reg.register_feature(
+        "clicks", source=("events", None), entity="user",
+        entity_column="user_id", value_column="clicks",
+        timestamp_column="ts", provider="cache", variant=None)
+    assert f.variant == run and f.source == ("events", run)
+    client.apply()
+    assert client.features([("clicks", run)], {"user": "u1"}) == [15]
+
+    # pinning and re-rolling
+    reg.set_run("my_run")
+    assert reg.run == "my_run"
+    assert reg.set_run() != "my_run"
+
+    # docker-style names when the equivalent-variants flag is off
+    monkeypatch.setenv("FF_GET_EQUIVALENT_VARIANTS", "false")
+    name = reg.set_run()
+    left, _, right = name.partition("_")
+    assert left.isalpha() and right.isalpha()
+
+
+def test_feature_flag_env(monkeypatch):
+    from embeddinghub_tpu.featurestore import feature_flag
+
+    assert feature_flag.is_enabled("EHTPU_NOPE", default=True)
+    assert not feature_flag.is_enabled("EHTPU_NOPE")
+    monkeypatch.setenv("EHTPU_YEP", "TRUE")
+    assert feature_flag.is_enabled("EHTPU_YEP")
+    monkeypatch.setenv("EHTPU_YEP", "0")
+    assert not feature_flag.is_enabled("EHTPU_YEP", default=True)

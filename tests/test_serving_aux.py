@@ -520,3 +520,47 @@ def test_apply_with_display(capsys):
     assert "FEATURE_VARIANT n (default): READY" in out
     vals = client.features([("n", "default")], {"user": "u1"})
     assert vals == [1]
+
+
+def test_cli_deploy_lifecycle(tmp_path, monkeypatch):
+    """`deploy start/status/stop` boots and tears down the composed
+    single-process stack (the reference's `featureform deploy`
+    quickstart, deploy.py, docker replaced by a pid-filed child)."""
+    import os
+    import random
+    import sys
+
+    from embeddinghub_tpu.featurestore import cli
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/ehtpu_jax_cache")
+    monkeypatch.setenv(
+        "PYTHONPATH", REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+    ports = [str(random.randint(20000, 40000)) for _ in range(4)]
+    argv = [
+        "deploy", "start",
+        "--store-port", ports[0], "--serving-port", ports[1],
+        "--metadata-port", ports[2], "--http-port", ports[3],
+        "--data-dir", str(tmp_path / "store"),
+        "--pid-file", str(tmp_path / "pid"),
+        "--wait", "90",
+    ]
+    assert cli.main(argv) == 0
+    try:
+        assert cli.main(
+            ["deploy", "status", "--http-port", ports[3],
+             "--pid-file", str(tmp_path / "pid")]
+        ) == 0
+        # double-start refuses
+        assert cli.main(argv) == 1
+    finally:
+        assert cli.main(
+            ["deploy", "stop", "--pid-file", str(tmp_path / "pid")]
+        ) == 0
+    assert cli.main(
+        ["deploy", "status", "--http-port", ports[3],
+         "--pid-file", str(tmp_path / "pid")]
+    ) == 1
