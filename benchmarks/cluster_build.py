@@ -137,15 +137,19 @@ def main():
     ap.add_argument("--efc", type=int, default=200)
     ap.add_argument("--efs", default="50,100,200")
     ap.add_argument("--target", type=int, default=4096)
-    ap.add_argument("--probes", type=int, default=4)
+    ap.add_argument("--probes", type=int, default=8)
     ap.add_argument("--refine", type=int, default=0,
                     help="graph-walk refine rounds (gather-bound, "
                          "~460s/262k rows/round at 1M; default off)")
-    ap.add_argument("--repair-frac", type=float, default=0.25,
+    ap.add_argument("--repair-frac", type=float, default=0.5,
                     help="boundary-repair fraction (exact full-arena "
                          "pools for the lowest-routing-margin rows)")
     ap.add_argument("--force-cluster", action="store_true",
                     help="route through the cluster build below 2M")
+    ap.add_argument("--stream", type=int, default=0,
+                    help="after the sweep, stream this many fresh rows "
+                         "through the fused wave path and re-measure "
+                         "recall vs an updated ground truth")
     ap.add_argument("--gt-file", default=None,
                     help="npz cache for train/test/gt")
     ap.add_argument("--data-file", default=None,
@@ -201,6 +205,82 @@ def main():
         report(engine="hnsw-cluster", n=args.n, m=args.m, efc=args.efc,
                ef=ef, recall=round(recall(ids, gt, args.k), 4),
                qps=round(len(test) / dt, 1), build_s=round(build_s, 1))
+
+    if args.stream:
+        stream_into(idx, train, test, gt, args)
+
+
+def stream_into(idx, train, test, gt, args):
+    """VERDICT r3 item 7: stream fresh rows into the cluster-built base
+    via the fused wave path (ops/wave_insert) and verify both axes —
+    insert throughput holds at >1M base, and recall holds against a
+    ground truth UPDATED for the streamed rows (host brute-force over
+    the streamed block merged with the cached device GT; the reference
+    serializes every insert behind one global mutex,
+    embeddingstore/server.h:65)."""
+    n, k = args.n, args.k
+    rng = np.random.default_rng(12345)
+    new = sample_stream_rows(rng, args.stream, train.shape[1])
+    t0 = time.time()
+    for s in range(0, len(new), 4096):
+        rows = np.arange(n + s, n + min(s + 4096, len(new)))
+        idx.add(rows, new[s : s + len(rows)])
+    dt = time.time() - t0
+    report(event="stream", base=n, streamed=len(new),
+           inserts_per_s=round(len(new) / dt, 1))
+
+    # self-hit: a streamed row queried back must find itself at top-1
+    probe = new[:: max(1, len(new) // 256)][:256]
+    rows = np.arange(n, n + len(new))[:: max(1, len(new) // 256)][:256]
+    _, ids = idx.search(probe, 1, ef=64)
+    self_hit = float(np.mean(ids[:, 0] == rows))
+
+    # merged ground truth on host: cached device GT ++ streamed block
+    def l2(q, x):
+        return ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+
+    d_old = np.stack([l2(test[i : i + 1], train[gt[i]])[0]
+                      for i in range(len(test))])
+    d_new = np.empty((len(test), len(new)), np.float32)
+    for s in range(0, len(new), 16384):
+        d_new[:, s : s + 16384] = l2(test, new[s : s + 16384])
+    cand_d = np.concatenate([d_old, d_new], axis=1)
+    cand_i = np.concatenate(
+        [gt, np.broadcast_to(np.arange(n, n + len(new)), (len(test), len(new)))],
+        axis=1,
+    )
+    pos = np.argsort(cand_d, axis=1)[:, :k]
+    gt2 = np.take_along_axis(cand_i, pos, axis=1)
+
+    _, ids = idx.search(test, k, ef=100)
+    report(event="stream-quality", base=n, streamed=len(new),
+           self_hit=round(self_hit, 4),
+           recall_ef100=round(recall(ids, gt2, k), 4))
+
+
+def sample_stream_rows(rng, count, dims):
+    """Fresh rows from the same SIFT-descriptor statistics as the base
+    (sift_desc_chunked's generator with an independent rng)."""
+    chunks = []
+    left = count
+    while left:
+        c = min(1 << 17, left)
+        base_ori = rng.uniform(0, 8, size=(c, 1, 1))
+        drift = rng.normal(0, 1.2, size=(c, 4, 4)).cumsum(2)
+        ori = (base_ori + drift) % 8
+        bins = np.arange(8)[None, None, None, :]
+        ang = np.minimum(np.abs(bins - ori[..., None]),
+                         8 - np.abs(bins - ori[..., None]))
+        resp = np.exp(-(ang ** 2) / (2 * 1.1 ** 2))
+        energy = rng.gamma(2.0, 1.0, size=(c, 4, 4, 1))
+        noise = rng.gamma(1.0, 0.25, size=(c, 4, 4, 8))
+        d = (resp * energy + noise).reshape(c, 128)
+        d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+        d = np.minimum(d, 0.2)
+        d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+        chunks.append(np.floor(512.0 * d).astype(np.float32)[:, :dims])
+        left -= c
+    return np.concatenate(chunks)
 
 
 if __name__ == "__main__":

@@ -138,7 +138,7 @@ class HNSWIndex(Index):
         # rows/chip (VERDICT r2 item 1).
         self.cluster_build_max = 64_000_000
         self.cluster_target = 4_096   # rows per cluster ≈ query block
-        self.cluster_probes = 4       # clusters scanned per pool
+        self.cluster_probes = 8       # clusters scanned per pool
         # Post-routing repair.  Graph-walk refine rounds (_bulk_refine)
         # were the r3 default but are GATHER-bound: ~460 s per 262k rows
         # per round at 1M on the real chip (TPU row gathers run ~25 GB/s
@@ -148,7 +148,12 @@ class HNSWIndex(Index):
         # pools can actually be wrong — at O(frac · n²·d / wave) scan
         # cost and zero gathers.  cluster_refine_rounds stays as an
         # opt-in extra.
-        self.cluster_repair_frac = 0.25
+        # Defaults tuned from the measured 1M force-cluster sweep
+        # (RESULTS.md r4): probes=4/repair=0.25 -> 0.9301 @ef100,
+        # probes=8/repair=0.25 -> 0.9402, probes=8/repair=0.5 ->
+        # 0.9635 — above both the 0.95 bar and the exact build's own
+        # 0.9610, at ~1.1x its warm wall-clock.
+        self.cluster_repair_frac = 0.5
         self.cluster_refine_rounds = 0  # opt-in graph-walk repair
         # `exact_full_max` is the BULK-construction ceiling: up to here
         # a cold add() builds the whole arena in one bulk pass (exact
@@ -688,10 +693,13 @@ class HNSWIndex(Index):
 
         Total scan cost O(n · probes · cluster_target · d) — linear in
         n at fixed neighborhood size.  Boundary nodes whose true
-        neighbors fall outside the probed clusters get slightly weaker
-        pools; reciprocal symmetrize + the random long-range edges (and
-        the beam's ef margin at search time) absorb that — measured
-        recall stays above the 0.95 parity bar (RESULTS.md 4M section).
+        neighbors fall outside the probed clusters get weaker pools;
+        :meth:`cluster_boundary_rows` + :meth:`refine` give the
+        lowest-routing-margin ``cluster_repair_frac`` of rows exact
+        full-arena pools afterwards.  Measured (r4, 1M force-cluster,
+        probes=8 repair=0.5): recall@10 0.9635 @ef100 — above the 0.95
+        parity bar and above the exact build's own 0.9610
+        (RESULTS.md "Cluster-routed construction" section).
         No reference analog: hnswlib builds sequentially point-by-point
         (index.cc:20-37); this is the TPU-shaped equivalent of its
         ef_construction candidate search, routed instead of walked.
