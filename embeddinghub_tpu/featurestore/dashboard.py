@@ -176,6 +176,8 @@ def make_handler(metadata, coordinator, search_index: SearchIndex):
                         self._send(f.read(), content_type="text/html")
                 elif url.path == "/metrics":
                     self._send(METRICS.render(), content_type="text/plain")
+                elif url.path == "/metrics.json":
+                    self._send(METRICS.snapshot())
                 elif url.path == "/health":
                     self._send(health_mod.check_all(metadata))
                 elif url.path == "/search":

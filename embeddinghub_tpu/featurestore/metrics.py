@@ -57,6 +57,35 @@ class MetricsHandler:
         with self._lock:
             self._counters[name] += n
 
+    def snapshot(self) -> dict:
+        """JSON-friendly snapshot for the dashboard's metrics view
+        (the reference dashboard charts Prometheus queries; without a
+        Prometheus in-process the UI polls this and keeps its own
+        short history for sparklines)."""
+        with self._lock:
+            return {
+                "serve": [
+                    {
+                        "feature": f,
+                        "variant": v,
+                        "count": h.n,
+                        "avg_latency_ms": (
+                            round(1000.0 * h.total / h.n, 3) if h.n else 0.0
+                        ),
+                    }
+                    for (f, v), h in self._serve_hist.items()
+                ],
+                "errors": [
+                    {"feature": f, "variant": v, "count": n}
+                    for (f, v), n in self._errors.items()
+                ],
+                "training_rows": [
+                    {"training_set": f, "variant": v, "rows": n}
+                    for (f, v), n in self._training_rows.items()
+                ],
+                "counters": dict(self._counters),
+            }
+
     def render(self) -> str:
         """Prometheus text exposition format."""
         with self._lock:
