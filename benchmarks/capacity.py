@@ -130,6 +130,12 @@ def main():
     rep(stage="quantize_upload", seconds=round(t_up, 1),
         wire_mb=round(idx.capacity * (d * bpe + 9) / 1e6),
         mb_per_s=round(idx.capacity * (d * bpe + 9) / 1e6 / t_up, 1))
+    # the quant guard (index/flat.apply_quant_guard) may have escalated
+    # the arena dtype during _sync — record the decision (VERDICT r2
+    # item 3's done bar: escalation visible in the run artifact)
+    rep(stage="storage", requested=args.storage,
+        effective=idx.storage_dtype,
+        quant_guard_escalated=idx.storage_dtype != args.storage)
 
     # ---- query throughput (wire-inclusive) ----
     qv = gen_chunk(rng, centers, 0, args.batch, d)
