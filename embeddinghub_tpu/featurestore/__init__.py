@@ -28,3 +28,15 @@ from embeddinghub_tpu.featurestore.registry import (  # noqa: F401
     Registrar,
     global_registrar,
 )
+from embeddinghub_tpu.featurestore.executor_credentials import (  # noqa: F401
+    AWSAssumeRoleCredentials,
+    AWSStaticCredentials,
+    BasicCredentials,
+    DatabricksCredentials,
+    EMRCredentials,
+    GCPCredentials,
+    GlueCatalog,
+    KerberosCredentials,
+    SparkCredentials,
+    SparkFlags,
+)
