@@ -373,6 +373,23 @@ def _run_trainingset(
                 "timestamp_column": feat.timestamp_column,
             }
         )
+    # lagged columns: same feature spec with a "lag" offset the join
+    # subtracts from the label timestamp (provider/k8s.go:63-75)
+    for fl in getattr(ts, "feature_lags", []):
+        feat = coord.metadata.get(
+            ResourceID(ResourceType.FEATURE_VARIANT,
+                       fl["feature"], fl["variant"])
+        )  # type: ignore[assignment]
+        features.append(
+            {
+                "source": feat.source,
+                "entity_column": feat.entity_column,
+                "value_column": feat.value_column,
+                "timestamp_column": feat.timestamp_column,
+                "lag": float(fl["lag"]),
+                "name": fl.get("name", ""),
+            }
+        )
     offline.create_training_set(
         ts.name,
         ts.variant,

@@ -309,6 +309,18 @@ def source_variant_from_pb(msg: pb.SourceVariant) -> SourceVariant:
     return sv
 
 
+def _feature_lag_to_pb(fl: dict) -> pb.FeatureLag:
+    msg = pb.FeatureLag(
+        feature=fl["feature"],
+        variant=fl.get("variant", "default"),
+        name=fl.get("name", ""),
+    )
+    secs = float(fl.get("lag", 0.0))
+    msg.lag.seconds = int(secs)
+    msg.lag.nanos = int(round((secs - int(secs)) * 1e9))
+    return msg
+
+
 def training_set_variant_to_pb(ts: TrainingSetVariant) -> pb.TrainingSetVariant:
     return pb.TrainingSetVariant(
         name=ts.name,
@@ -321,6 +333,7 @@ def training_set_variant_to_pb(ts: TrainingSetVariant) -> pb.TrainingSetVariant:
         features=[
             pb.NameVariant(name=n, variant=v) for n, v in ts.features
         ],
+        feature_lags=[_feature_lag_to_pb(fl) for fl in ts.feature_lags],
         tags=_tags(ts),
         properties=_props(ts),
     )
@@ -335,6 +348,15 @@ def training_set_variant_from_pb(msg: pb.TrainingSetVariant) -> TrainingSetVaria
         provider=msg.provider,
         label=(msg.label.name, msg.label.variant),
         features=[(nv.name, nv.variant) for nv in msg.features],
+        feature_lags=[
+            {
+                "feature": fl.feature,
+                "variant": fl.variant or "default",
+                "name": fl.name,
+                "lag": fl.lag.seconds + fl.lag.nanos / 1e9,
+            }
+            for fl in msg.feature_lags
+        ],
         **_common_from_pb(msg),
     )
 

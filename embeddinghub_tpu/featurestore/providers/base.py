@@ -99,6 +99,40 @@ class VectorStore(OnlineStore):
 # ------------------------------------------------------------------ offline
 
 
+def lag_cutoff(lab_ts, lag_s):
+    """Label timestamp shifted back by ``lag_s`` seconds, in the
+    timestamp's own domain: numerics subtract seconds, datetime-likes
+    (datetime / pandas.Timestamp / numpy.datetime64) subtract a
+    timedelta, ISO-format strings round-trip through datetime (ISO
+    string order is chronological, so the string cutoff compares
+    correctly against string columns)."""
+    if not lag_s or lab_ts is None:
+        return lab_ts
+    import datetime as _dt
+
+    if isinstance(lab_ts, bool):
+        raise TypeError("boolean label timestamp")
+    if isinstance(lab_ts, (int, float)):
+        return lab_ts - lag_s
+    if isinstance(lab_ts, str):
+        try:
+            return str(float(lab_ts) - lag_s)
+        except ValueError:
+            sep = lab_ts[10] if len(lab_ts) > 10 else "T"
+            shifted = _dt.datetime.fromisoformat(lab_ts) - _dt.timedelta(
+                seconds=lag_s)
+            return shifted.isoformat(sep=sep)
+    if hasattr(lab_ts, "item"):
+        v = lab_ts.item()  # numpy scalar -> python scalar/datetime
+        if not type(v) is type(lab_ts):
+            return lag_cutoff(v, lag_s)
+    try:  # datetime / pandas.Timestamp
+        return lab_ts - _dt.timedelta(seconds=lag_s)
+    except TypeError:
+        raise TypeError(
+            f"cannot lag timestamp of type {type(lab_ts).__name__}")
+
+
 class Materialization:
     """A chunk-iterable snapshot of (entity, value) pairs — reference
     ``offline.go:589-608``."""
@@ -165,6 +199,12 @@ class OfflineStore(Provider):
         raise NotImplementedError
 
     # --- training sets
+    #
+    # Feature specs may carry a "lag" (seconds): the join then takes
+    # the feature's value as of (label ts - lag) instead of the label
+    # ts itself (reference provider/k8s.go:63-75 shifts by LagDelta).
+    # ``lag_cutoff`` computes that shifted cutoff in the timestamp's
+    # own domain so providers compare like with like.
     def create_training_set(
         self,
         ts_name: str,

@@ -205,8 +205,10 @@ class PandasOfflineStore(base.OfflineStore):
             fvals = []
             for f, groups, tcol in feat_groups:
                 rows = groups.get(entity)
-                if rows is not None and tcol and lab_ts is not None:
-                    rows = rows[rows[tcol] <= lab_ts]  # no future features
+                # lagged features shift the cutoff back by lag seconds
+                cutoff = base.lag_cutoff(lab_ts, f.get("lag"))
+                if rows is not None and tcol and cutoff is not None:
+                    rows = rows[rows[tcol] <= cutoff]  # no future features
                 if rows is not None and len(rows):
                     fvals.append(rows.iloc[-1][f["value_column"]])
                 else:

@@ -182,12 +182,15 @@ class SqliteOfflineStore(base.OfflineStore):
             for f, rows in feat_data:
                 ecol, vcol = f["entity_column"], f["value_column"]
                 tcol = f.get("timestamp_column") or ""
+                # lagged features shift the cutoff back by lag seconds
+                # (reference provider/k8s.go:63-75 LagDelta semantics)
+                cutoff = base.lag_cutoff(lab_ts, f.get("lag"))
                 best, best_ts = None, None
                 for r in rows:
                     if str(r[ecol]) != entity:
                         continue
                     ts = r.get(tcol) if tcol else None
-                    if lab_ts is not None and ts is not None and ts > lab_ts:
+                    if cutoff is not None and ts is not None and ts > cutoff:
                         continue  # feature from the future
                     if best is None or (ts is not None and (best_ts is None or ts >= best_ts)):
                         best, best_ts = r[vcol], ts

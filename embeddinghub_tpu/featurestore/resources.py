@@ -394,6 +394,11 @@ class TrainingSetVariant(Resource):
     label: tuple[str, str] = ("", "")
     features: list[tuple[str, str]] = field(default_factory=list)
     provider: str = ""
+    # lagged feature columns: each entry appends one extra column — the
+    # named feature's value as of (label ts - lag seconds).  Reference:
+    # LagFeatures on the training-set def (provider/k8s.go:63-75 shifts
+    # the feature timestamp by LagDelta before the point-in-time join).
+    feature_lags: list = field(default_factory=list)
 
     def needs_job(self) -> bool:
         return True
@@ -404,6 +409,11 @@ class TrainingSetVariant(Resource):
             ResourceID(ResourceType.FEATURE_VARIANT, n, v)
             for n, v in self.features
         ]
+        for fl in self.feature_lags:
+            rid = ResourceID(ResourceType.FEATURE_VARIANT,
+                             fl["feature"], fl["variant"])
+            if rid not in deps:
+                deps.append(rid)
         return deps
 
 

@@ -158,6 +158,56 @@ def test_training_set(client):
     assert sum(len(b) for b in batches) == 4
 
 
+@pytest.mark.parametrize("offline", ["sqlite", "pandas"])
+def test_training_set_lagged_features(client, offline):
+    """A feature entry with a ``lag`` appends a column holding the
+    feature value as of (label ts - lag) — reference
+    provider/k8s.go:63-75 (LagDelta shifts the join cutoff)."""
+    reg = client.registrar
+    reg.register_user("alice")
+    reg.set_default_owner("alice")
+    if offline == "sqlite":
+        reg.register_sqlite_offline("warehouse")
+    else:
+        reg.register_pandas_offline("warehouse")
+    reg.register_memory_online("cache")
+    reg.register_entity("user")
+    reg.register_primary_data("events", provider="warehouse", location={"rows": ROWS})
+    reg.register_feature(
+        "clicks",
+        source=("events", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="clicks",
+        timestamp_column="ts",
+        provider="cache",
+    )
+    reg.register_primary_data(
+        "purchases",
+        provider="warehouse",
+        location={"rows": [{"user_id": "u1", "bought": 1, "ts": 3}]},
+    )
+    reg.register_label(
+        "bought",
+        source=("purchases", "default"),
+        entity="user",
+        entity_column="user_id",
+        value_column="bought",
+        timestamp_column="ts",
+    )
+    reg.register_training_set(
+        "lagged_model",
+        label=("bought", "default"),
+        features=[
+            ("clicks", "default"),  # as-of label ts 3 -> 15
+            {"feature": "clicks", "variant": "default", "lag": 2},  # ts<=1 -> 10
+        ],
+    )
+    client.apply()
+    rows = [(tuple(r.features()), r.label()) for r in client.training_set("lagged_model")]
+    assert rows == [((15, 10), 1)]
+
+
 def test_on_demand_feature(client):
     reg = client.registrar
 

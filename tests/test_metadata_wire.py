@@ -287,6 +287,10 @@ def test_sql_transform_and_training_set_round_trip(ref_pb, our_server):
         label=pb.NameVariant(name="churned", variant="v1"),
     )
     ts.features.add(name="click_count", variant="v1")
+    fl = ts.feature_lags.add(
+        feature="click_count", variant="v1", name="clicks_1h_ago"
+    )
+    fl.lag.seconds = 3600
     _uu(chan, "CreateTrainingSetVariant", pb.TrainingSetVariantRequest, pb.Empty)(
         pb.TrainingSetVariantRequest(training_set_variant=ts)
     )
@@ -310,6 +314,9 @@ def test_sql_transform_and_training_set_round_trip(ref_pb, our_server):
     )
     assert back[0].label.name == "churned"
     assert back[0].features[0].name == "click_count"
+    assert back[0].feature_lags[0].feature == "click_count"
+    assert back[0].feature_lags[0].name == "clicks_1h_ago"
+    assert back[0].feature_lags[0].lag.seconds == 3600
 
     # nothing pickled anywhere in the store
     from embeddinghub_tpu.featurestore.resources import SourceVariant
