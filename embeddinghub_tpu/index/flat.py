@@ -42,6 +42,20 @@ from embeddinghub_tpu.ops import topk as topk_ops
 # ever sees a few distinct shapes.
 _BATCH_BUCKETS = (1, 8, 64, 256, 1024)
 
+# Past this row count the arena stops padding to pow2: at 50M rows pow2
+# burns 17.1M phantom rows (~2.1 GB of int8x2 arena, enough to OOM the
+# 15.75 GB chip — benchmarks/artifacts/r4_cap50m.log); the chunked
+# search only requires cap % (1 << 20) == 0, so deep arenas round up to
+# 1M-row blocks instead.
+_DEEP_CAP_THRESHOLD = 1 << 21
+_DEEP_CAP_BLOCK = 1 << 20
+
+
+def _round_capacity(need: int) -> int:
+    if need <= _DEEP_CAP_THRESHOLD:
+        return next_pow2(max(need, 128), floor=128)
+    return -(-need // _DEEP_CAP_BLOCK) * _DEEP_CAP_BLOCK
+
 # Rewriting more than this fraction of capacity triggers a full re-upload
 # instead of a scatter.
 _SCATTER_LIMIT = 0.25
@@ -224,7 +238,7 @@ class FlatIndex(Index):
         self.storage_dtype = storage_dtype
         self._chunk_target = chunk_target
         self._device = device
-        self._cap = next_pow2(max(capacity, 128), floor=128)
+        self._cap = _round_capacity(max(capacity, 128))
         # Host-authoritative arena (preprocessed for the metric).
         self._hx = np.zeros((self._cap, self.dims), dtype=np.float32)
         self._hvalid = np.zeros((self._cap,), dtype=bool)
@@ -266,13 +280,31 @@ class FlatIndex(Index):
     def _ensure_capacity(self, need: int) -> None:
         if need <= self._cap:
             return
-        new_cap = next_pow2(need, floor=self._cap)
+        # keep 12.5% headroom past the deep threshold so streaming adds
+        # amortize without pow2's up-to-2x overshoot
+        new_cap = _round_capacity(
+            max(need, self._cap + self._cap // 8)
+            if self._cap > _DEEP_CAP_THRESHOLD or need > _DEEP_CAP_THRESHOLD
+            else need
+        )
+        new_cap = max(new_cap, self._cap)
         grown_x = np.zeros((new_cap, self.dims), dtype=np.float32)
         grown_x[: self._cap] = self._hx
         grown_v = np.zeros((new_cap,), dtype=bool)
         grown_v[: self._cap] = self._hvalid
         self._hx, self._hvalid, self._cap = grown_x, grown_v, new_cap
         self._needs_full_sync = True
+
+    def _deep_chunk(self, pb: int) -> int:
+        """Scan-chunk rows for the deep quantized path: bounds the
+        [B, chunk] per-step intermediate to ~1 GB, capped at the
+        capacity rounding block so ``cap % chunk == 0`` holds for
+        non-pow2 deep capacities."""
+        return min(
+            self._cap,
+            _DEEP_CAP_BLOCK,
+            max(1 << 16, (1 << 28) // max(pb, 1)),
+        )
 
     def _mark_dirty(self, rows: np.ndarray) -> None:
         if self._needs_full_sync:
@@ -468,9 +500,7 @@ class FlatIndex(Index):
                     metric=self.metric,
                     k=kk,
                     oversample=over,
-                    # bound the [B, chunk] per-step intermediate to ~1 GB
-                    chunk=min(self._cap,
-                              max(1 << 16, (1 << 28) // max(pb, 1))),
+                    chunk=self._deep_chunk(pb),
                 )
             else:
                 d, i = topk_ops.int8_oversample_search(
@@ -602,8 +632,7 @@ class FlatIndex(Index):
                     q_dev, self._dx, self._dscales, self._dvalid,
                     self._dx_sq, self._dx_lo,
                     metric=self.metric, k=kk, oversample=over,
-                    chunk=min(self._cap,
-                              max(1 << 16, (1 << 28) // max(pb, 1))),
+                    chunk=self._deep_chunk(pb),
                 )
             else:
                 _, i = topk_ops.int8_oversample_search(

@@ -429,9 +429,15 @@ def quantized_chunked_search(
     ``k * oversample`` pool.  One final f32 rerank of the pooled
     candidates restores exact ordering (and exact distances) at the top.
 
-    The chunk slices come from a free reshape of the row-major ``xq``
-    (no transposed copy — at 100M rows a ``[D, cap]`` copy would double
-    the arena's HBM footprint).
+    The scan carries ONLY the chunk base offsets; the arena tensors are
+    loop-invariant free variables sliced with ``dynamic_slice`` inside
+    the body.  Scanning over a reshaped ``[n_chunks, chunk, d]`` view
+    instead threads the whole arena through the while-loop state, and
+    because the rerank gather below also consumes ``xq``, XLA cannot
+    alias the buffer into the loop — it materializes a full arena COPY
+    (measured: an 8 GB ``copy(xq)`` HLO temp at 50M x 96 int8x2, the
+    allocation that pushed the 50M-row compile to 21.2 GB > 15.75 GB
+    HBM; benchmarks/artifacts/r4_cap50m.log).
     """
     cap, d = xq.shape
     if cap % chunk != 0:
@@ -454,15 +460,6 @@ def quantized_chunked_search(
         qq = q.astype(jnp.bfloat16)
         qscale = None
 
-    xq_c = xq.reshape(n_chunks, chunk, d)
-    sq_c = x_sq.reshape(n_chunks, chunk)
-    valid_c = valid.reshape(n_chunks, chunk)
-    sc_c = (
-        scales.reshape(n_chunks, chunk)
-        if int8 and scales is not None
-        else jnp.zeros((n_chunks, 1), jnp.float32)  # unused placeholder
-    )
-
     # Per-chunk candidate count: kc = kk gives exact containment (any
     # global top-kk row is in its own chunk's top-kk).  At very deep
     # chunk counts the stacked pool is capped at ~128k/row; kc shrinks
@@ -471,14 +468,17 @@ def quantized_chunked_search(
     # each chunk's best kc).
     kc = min(kk, max(k, (1 << 17) // n_chunks))
 
-    def step(_, inp):
-        xc, sqc, vc, scc, base = inp
+    def step(_, base):
+        xc = jax.lax.dynamic_slice_in_dim(xq, base, chunk)
+        sqc = jax.lax.dynamic_slice_in_dim(x_sq, base, chunk)
+        vc = jax.lax.dynamic_slice_in_dim(valid, base, chunk)
         dots = jax.lax.dot_general(
             qq, xc,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32 if int8 else jnp.float32,
         )
         if int8:
+            scc = jax.lax.dynamic_slice_in_dim(scales, base, chunk)
             dots = dots.astype(jnp.float32) * qscale * scc[None, :]
         if metric == "l2":
             score = 2.0 * dots - sqc[None, :]
@@ -497,7 +497,7 @@ def quantized_chunked_search(
     # top-kk, so the stacked union contains the global top-kk; the
     # single approx_max_k over it loses at most the fused-selection
     # epsilon, which the f32 rerank below absorbs.
-    _, (cvs, cis) = jax.lax.scan(step, None, (xq_c, sq_c, valid_c, sc_c, bases))
+    _, (cvs, cis) = jax.lax.scan(step, None, bases)
     sv = jnp.moveaxis(cvs, 0, 1).reshape(b, n_chunks * kc)
     si = jnp.moveaxis(cis, 0, 1).reshape(b, n_chunks * kc)
     if n_chunks * kc > kk:

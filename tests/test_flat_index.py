@@ -241,3 +241,34 @@ def test_int8_query_upload(rng):
     _, want = idx.search(q[:13], 4, query_dtype="int8")
     assert got.shape == (13, 4)
     assert (got == want[:, :4]).all()
+
+
+def test_deep_capacity_non_pow2(rng):
+    """Past 2M rows capacity rounds to 1M-row blocks, not pow2 (pow2
+    padding at 50M wastes 17.1M phantom rows ~= 2.1 GB of int8x2 arena
+    — the r4 50M OOM, benchmarks/artifacts/r4_cap50m.log), and the
+    deep chunked search must accept the non-pow2 capacity (its scan
+    chunk is capped at the rounding block so cap % chunk == 0)."""
+    from embeddinghub_tpu.index.flat import _round_capacity
+
+    blk = 1 << 20
+    assert _round_capacity(128) == 128
+    assert _round_capacity(2_000_000) == 1 << 21        # pow2 regime
+    assert _round_capacity(2_500_000) == 3 * blk        # block regime
+    assert _round_capacity(50_000_000) == 48 * blk
+    assert _round_capacity(48 * blk) == 48 * blk        # idempotent
+
+    n_hot = 2048
+    d = 8
+    idx = FlatIndex(dims=d, metric="l2", storage_dtype="int8x2",
+                    capacity=2_500_000, quant_guard=False)
+    assert idx.capacity == 3 * blk
+    x = rng.standard_normal((n_hot, d)).astype(np.float32)
+    # scatter rows across the deep arena, incl. past the 2M pow2 mark
+    rows = np.linspace(0, 2_400_000, n_hot).astype(np.int64)
+    idx.add(rows, x)
+    q = x[:16] + 1e-4 * rng.standard_normal((16, d)).astype(np.float32)
+    _, got = idx.search(q, 5)
+    assert (got[:, 0] == rows[:16]).all()
+    got_async = np.asarray(idx.search_async(q, 5))
+    assert (got_async[:, 0] == rows[:16]).all()
