@@ -28,6 +28,23 @@ from embeddinghub_tpu.featurestore.registry import (  # noqa: F401
     Registrar,
     global_registrar,
 )
+from embeddinghub_tpu.featurestore.class_api import (  # noqa: F401
+    Bool,
+    ColumnSelection,
+    Datetime,
+    Embedding,
+    Feature,
+    Float32,
+    Float64,
+    Int,
+    Int32,
+    Int64,
+    Label,
+    String,
+    Timestamp,
+    Variants,
+    entity,
+)
 from embeddinghub_tpu.featurestore.executor_credentials import (  # noqa: F401
     AWSAssumeRoleCredentials,
     AWSStaticCredentials,

@@ -292,6 +292,14 @@ class SourceVariant(Resource):
     def is_transformation(self) -> bool:
         return self.transformation is not None
 
+    def __getitem__(self, columns):
+        """``source[["entity_col", "value_col", ("ts_col")]]`` — the
+        class-based registration selection (reference
+        ColumnSourceRegistrar.__getitem__, register.py:1330)."""
+        from embeddinghub_tpu.featurestore.class_api import select_columns
+
+        return select_columns((self.name, self.variant), columns)
+
     def needs_job(self) -> bool:
         return True
 

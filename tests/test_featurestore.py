@@ -587,3 +587,116 @@ def test_feature_flag_env(monkeypatch):
     assert feature_flag.is_enabled("EHTPU_YEP")
     monkeypatch.setenv("EHTPU_YEP", "0")
     assert not feature_flag.is_enabled("EHTPU_YEP", default=True)
+
+
+def test_class_based_entity_api(client):
+    """The reference quickstart surface: @ff.entity classes with
+    ff.Feature / ff.Label attributes over source[[cols]] selections
+    (reference register.py:6286 entity(), 1330 __getitem__,
+    1601/1816 column resources)."""
+    reg = client.registrar
+    reg.register_user("alice")
+    reg.set_default_owner("alice")
+    reg.register_sqlite_offline("warehouse")
+    cache = reg.register_memory_online("cache")
+    transactions = reg.register_primary_data(
+        "transactions",
+        provider="warehouse",
+        location={
+            "rows": [
+                {"cid": "u1", "amount": 10.0, "fraud": 0, "ts": 1},
+                {"cid": "u1", "amount": 99.0, "fraud": 1, "ts": 2},
+                {"cid": "u2", "amount": 5.0, "fraud": 0, "ts": 1},
+            ]
+        },
+    )
+
+    @ff.entity
+    class User:
+        last_amount = ff.Feature(
+            transactions[["cid", "amount", "ts"]],
+            type=ff.Float32,
+            inference_store=cache,
+        )
+        fraudulent = ff.Label(
+            transactions[["cid", "fraud", "ts"]], type=ff.Bool
+        )
+
+    client.apply()
+    # entity name = lowercased class name; feature name = attribute
+    assert client.features(["last_amount"], {"user": "u1"}) == [99.0]
+
+    reg.register_training_set(
+        "fraud_model", label=("fraudulent", "default"),
+        features=[("last_amount", "default")],
+    )
+    client.apply()
+    rows = {tuple(r.features()): r.label() for r in client.training_set("fraud_model")}
+    # one training row per label row, features as-of each label ts
+    assert rows == {(10.0,): 0, (99.0,): 1, (5.0,): 0}
+
+
+def test_class_api_variants_and_validation(client):
+    reg = client.registrar
+    reg.register_user("a")
+    reg.set_default_owner("a")
+    reg.register_sqlite_offline("wh")
+    reg.register_memory_online("cache")
+    src = reg.register_primary_data(
+        "ev", provider="wh",
+        location={"rows": [{"e": "x", "v": 1, "v2": 2}]},
+    )
+
+    # selection validation
+    with pytest.raises(ValueError):
+        src[["only_one"]]
+    with pytest.raises(ValueError):
+        src[["a", "b", "c", "d"]]
+    # timestamp specified twice
+    with pytest.raises(ValueError):
+        ff.Feature(src[["e", "v", "t"]], timestamp_column="t2")
+    # Variants key/variant mismatch
+    with pytest.raises(ValueError):
+        ff.Variants({"v1": ff.Feature(src[["e", "v"]], variant="other")})
+
+    @ff.entity
+    class Thing:
+        val = ff.Variants({
+            "v1": ff.Feature(src[["e", "v"]], inference_store="cache"),
+            "v2": ff.Feature(src[["e", "v2"]], inference_store="cache"),
+        })
+
+    client.apply()
+    assert client.features([("val", "v1")], {"thing": "x"}) == [1]
+    assert client.features([("val", "v2")], {"thing": "x"}) == [2]
+
+
+def test_transformation_subscriptable(client):
+    """sql/df transformation decorators return the SourceVariant so the
+    class API can select columns from them, and register_feature accepts
+    the builder object directly as source=."""
+    _register_basic(client)
+    reg = client.registrar
+
+    @reg.sql_transformation(name="doubled", provider="warehouse",
+                            inputs=[("events", "default")])
+    def doubled():
+        return "SELECT user_id, clicks * 2 AS c2, ts FROM {{ events.default }}"
+
+    sel = doubled[["user_id", "c2", "ts"]]
+    assert sel.source == ("doubled", "default")
+    assert sel.timestamp_column == "ts"
+
+    @ff.entity
+    class User:
+        clicks2 = ff.Feature(sel, inference_store="cache")
+
+    # source= accepts the builder directly too
+    reg.register_feature(
+        "clicks2_direct", source=doubled, entity="user",
+        entity_column="user_id", value_column="c2",
+        timestamp_column="ts", provider="cache",
+    )
+    client.apply()
+    assert client.features(["clicks2"], {"user": "u1"}) == [30]
+    assert client.features(["clicks2_direct"], {"user": "u1"}) == [30]
