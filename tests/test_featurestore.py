@@ -700,3 +700,46 @@ def test_transformation_subscriptable(client):
     client.apply()
     assert client.features(["clicks2"], {"user": "u1"}) == [30]
     assert client.features(["clicks2_direct"], {"user": "u1"}) == [30]
+
+
+def test_client_getters_variants_delete_search(client):
+    """Reference client surface: get_*/list_*/get_variants/
+    latest_variant (register.py:5144-6216), two-phase delete/prune
+    (register.py:4977/5025), full-text search (register.py:6197)."""
+    _register_basic(client)
+    client.apply()
+    reg = client.registrar
+    reg.register_feature(
+        "clicks", variant="v2", source=("events", "default"), entity="user",
+        entity_column="user_id", value_column="clicks", provider="cache",
+    )
+    client.apply()
+
+    assert client.get_feature("clicks").name == "clicks"
+    assert client.get_source("events").provider == "warehouse"
+    assert client.get_entity("user").name == "user"
+    assert client.get_provider("cache").name == "cache"
+    assert {f.variant for f in client.get_variants("clicks")} == {"default", "v2"}
+    assert client.latest_variant("clicks") == "v2"
+    assert any(f.variant == "v2" for f in client.list_features())
+    assert client.list_entities() and client.list_providers()
+
+    # search finds by name token
+    hits = client.search("clicks")
+    assert any(h["name"] == "clicks" for h in hits)
+
+    # delete is refused while dependents exist
+    with pytest.raises(fferr.InvalidResourceError):
+        client.delete("events", rtype=ResourceType.SOURCE_VARIANT)
+    # feature deletion: stage, staged copy readable, then prune
+    feat = client.get_feature("clicks", "v2")
+    client.delete(feat)
+    with pytest.raises(fferr.ResourceNotFoundError):
+        client.get_feature("clicks", "v2")
+    assert client.metadata.get_staged(feat.rid()).name == "clicks"
+    client.prune(feat)
+    with pytest.raises(fferr.ResourceNotFoundError):
+        client.metadata.get_staged(feat.rid())
+    # delete by name requires rtype
+    with pytest.raises(fferr.InvalidResourceError):
+        client.delete("clicks")
