@@ -153,6 +153,16 @@ def main(argv=None) -> int:
     p_search = sub.add_parser("search")
     p_search.add_argument("query")
 
+    sub.add_parser("version", help="client + engine versions "
+                                   "(reference cli.py version)")
+
+    p_head = sub.add_parser(
+        "head", help="first rows of a registered source "
+                     "(reference cli.py:175 head)")
+    p_head.add_argument("name")
+    p_head.add_argument("variant", nargs="?", default="default")
+    p_head.add_argument("--limit", type=int, default=10)
+
     p_deploy = sub.add_parser(
         "deploy",
         help="start/stop/query a local single-process stack (the "
@@ -242,6 +252,30 @@ def main(argv=None) -> int:
         idx = SearchIndex(client.metadata)
         for doc in idx.search(args.query):
             print(f"{doc['type']}\t{doc['name']}\t{doc['variant']}")
+        return 0
+
+    if args.cmd == "version":
+        import embeddinghub_tpu
+
+        print(f"embeddinghub_tpu {embeddinghub_tpu.__version__}")
+        try:
+            import jax
+
+            print(f"jax {jax.__version__} ({jax.default_backend()})")
+        except Exception:  # noqa: BLE001 - version print must not fail
+            pass
+        return 0
+
+    if args.cmd == "head":
+        rows = client.rows(args.name, args.variant)[: args.limit]
+        if not rows:
+            print("(empty)")
+            return 0
+        cols = list(rows[0].keys())
+        format_rows(*cols) if len(cols) > 1 else format_rows(cols[0], "")
+        for r in rows:
+            vals = [str(r.get(c, "")) for c in cols]
+            format_rows(*vals) if len(vals) > 1 else format_rows(vals[0], "")
         return 0
 
     return 1

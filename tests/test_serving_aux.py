@@ -252,6 +252,12 @@ reg.register_feature("clicks", source=("events", "default"), entity="user",
     assert "SOURCE: " in out  # reference get.py section layout
     assert cli.main(["--db", db, "search", "clicks"]) == 0
     assert "clicks" in capsys.readouterr().out
+    # head: first rows of a registered source (reference cli.py:175)
+    assert cli.main(["--db", db, "head", "events"]) == 0
+    out = capsys.readouterr().out
+    assert "user_id" in out and "u1" in out and "7" in out
+    assert cli.main(["--db", db, "version"]) == 0
+    assert "embeddinghub_tpu" in capsys.readouterr().out
 
 
 def test_dashboard_serves_static_ui():
