@@ -2,8 +2,9 @@
 
 Rebuild of reference ``integrations/slack_client.go``: pluggable
 channels receive resource-status and task-run events.  Ships a log
-channel and a JSON-lines file channel (a webhook channel would slot in
-identically; this image has no egress).
+channel, a JSON-lines file channel, and a Slack-shaped HTTP webhook
+channel (``WebhookChannel`` — points at any collector; in this
+no-egress image it is exercised against a loopback server).
 """
 
 from __future__ import annotations
@@ -35,6 +36,58 @@ class FileChannel:
     def notify(self, event: dict) -> None:
         with open(self._path, "a") as f:
             f.write(json.dumps({"ts": time.time(), **event}) + "\n")
+
+
+_STATUS_COLORS = {  # reference slack_messages.go GetColorForStatus
+    "READY": "#00FF00",
+    "FAILED": "#FF0000",
+    "PENDING": "#FFA500",
+    "RUNNING": "#FFA500",
+}
+
+
+class WebhookChannel:
+    """HTTP POST JSON events to a webhook URL, Slack-attachment shaped
+    (reference ``integrations/slack_client.go`` PostStatusChangeMessage:
+    Type/Resource/Status/Error sections + a status color)."""
+
+    def __init__(self, url: str, timeout: float = 5.0,
+                 dashboard_url: str = ""):
+        self.url = url
+        self.timeout = timeout
+        self.dashboard_url = dashboard_url
+
+    def notify(self, event: dict) -> None:
+        import urllib.request
+
+        status = str(event.get("status", ""))
+        fields = [
+            {"title": k.replace("_", " ").title(), "value": str(v)}
+            for k, v in event.items()
+            if v not in ("", None)
+        ]
+        payload = {
+            "attachments": [
+                {
+                    "color": _STATUS_COLORS.get(status, "#CCCCCC"),
+                    "fields": fields,
+                    **(
+                        {"actions": [{"type": "button",
+                                      "text": "View Dashboard",
+                                      "url": self.dashboard_url}]}
+                        if self.dashboard_url
+                        else {}
+                    ),
+                }
+            ],
+            "event": event,
+        }
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        urllib.request.urlopen(req, timeout=self.timeout).read()
 
 
 class Notifier:

@@ -165,3 +165,52 @@ def test_scheduled_refresh(client):
     assert created >= 2  # source + feature refresh runs
     client.coordinator.run_pending_sync()
     assert client.features(["liveval"], {"user": "u1"}) == [2]
+
+
+def test_webhook_notification_channel():
+    """WebhookChannel POSTs Slack-attachment-shaped JSON (reference
+    integrations/slack_client.go PostStatusChangeMessage) — exercised
+    against a loopback HTTP collector."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from embeddinghub_tpu.featurestore.notifications import (
+        Notifier,
+        WebhookChannel,
+    )
+
+    got = []
+
+    class Collector(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            got.append(json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Collector)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/hook"
+        n = Notifier([WebhookChannel(url, dashboard_url="http://dash")])
+        n.resource_status("FEATURE_VARIANT/clicks/default", "READY")
+        n.task_run("materialize", 7, "FAILED", error="boom")
+    finally:
+        srv.shutdown()
+    assert len(got) == 2
+    ready, failed = got
+    assert ready["attachments"][0]["color"] == "#00FF00"
+    assert ready["event"]["resource"] == "FEATURE_VARIANT/clicks/default"
+    assert any(f["title"] == "Status" and f["value"] == "READY"
+               for f in ready["attachments"][0]["fields"])
+    assert ready["attachments"][0]["actions"][0]["url"] == "http://dash"
+    assert failed["attachments"][0]["color"] == "#FF0000"
+    assert failed["event"]["error"] == "boom"
+    # webhook failures are swallowed (notification is never fatal)
+    bad = Notifier([WebhookChannel("http://127.0.0.1:1/nope", timeout=0.2)])
+    bad.resource_status("x", "READY")
