@@ -28,6 +28,13 @@ class FFError(Exception):
         return getattr(grpc.StatusCode, self.code, grpc.StatusCode.INTERNAL)
 
 
+class InternalError(FFError):
+    """Unrecoverable internal invariant violation (reference
+    fferr.NewInternalError)."""
+
+    code = "INTERNAL"
+
+
 # ---- resources / metadata
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import sqlite3
 import threading
+import time
 from typing import Callable, Iterable
 
 from embeddinghub_tpu.featurestore import fferr
@@ -212,18 +213,46 @@ class SqliteStorage(KVStorage):
     """Durable metadata KV (the psql analog for a single node).
 
     Resources are stored as typed JSON (resources.to_wire — pickle is
-    gone at rest too); sqlite gives atomic writes + survives restarts
-    (reference runs goose migrations on psql, main.go:93-105).
+    gone at rest too); sqlite gives atomic writes + survives restarts.
+    Versioned migrations run at open, each in its own transaction with
+    the recorded version advancing alongside (the reference's goose
+    migration boot step, main.go:93-105 / db/migrations) — an old data
+    file from an earlier release upgrades in place, and a NEWER file
+    than the code refuses to open rather than corrupt.
     """
+
+    # append-only; never edit or reorder an entry that has shipped
+    _MIGRATIONS: list[str] = [
+        "CREATE TABLE IF NOT EXISTS resources "
+        "(key TEXT PRIMARY KEY, val BLOB)",
+        # v2: updated_at audit column + write-time index for the
+        # dashboard's recency views
+        "ALTER TABLE resources ADD COLUMN updated_at REAL",
+        "CREATE INDEX IF NOT EXISTS resources_updated "
+        "ON resources (updated_at)",
+    ]
 
     def __init__(self, path: str):
         self._path = path
         self._local = threading.local()
-        con = self._con()
-        con.execute(
-            "CREATE TABLE IF NOT EXISTS resources (key TEXT PRIMARY KEY, val BLOB)"
-        )
-        con.commit()
+        self._migrate(self._con())
+
+    def _migrate(self, con: sqlite3.Connection) -> None:
+        have = con.execute("PRAGMA user_version").fetchone()[0]
+        want = len(self._MIGRATIONS)
+        if have > want:
+            raise fferr.InternalError(
+                f"metadata file {self._path!r} is schema v{have}, newer "
+                f"than this build (v{want}) — refusing to open"
+            )
+        for version in range(have, want):
+            con.execute(self._MIGRATIONS[version])
+            con.execute(f"PRAGMA user_version = {version + 1}")
+            con.commit()
+
+    @property
+    def schema_version(self) -> int:
+        return self._con().execute("PRAGMA user_version").fetchone()[0]
 
     def _con(self) -> sqlite3.Connection:
         if not hasattr(self._local, "con"):
@@ -246,9 +275,10 @@ class SqliteStorage(KVStorage):
         blob = to_wire(value)
         con = self._con()
         con.execute(
-            "INSERT INTO resources (key, val) VALUES (?, ?) "
-            "ON CONFLICT(key) DO UPDATE SET val=excluded.val",
-            (key, blob),
+            "INSERT INTO resources (key, val, updated_at) VALUES (?, ?, ?) "
+            "ON CONFLICT(key) DO UPDATE SET val=excluded.val, "
+            "updated_at=excluded.updated_at",
+            (key, blob, time.time()),
         )
         con.commit()
 

@@ -743,3 +743,40 @@ def test_client_getters_variants_delete_search(client):
     # delete by name requires rtype
     with pytest.raises(fferr.InvalidResourceError):
         client.delete("clicks")
+
+
+def test_sqlite_storage_migrations(tmp_path):
+    """Versioned schema migrations at open (the reference's goose boot
+    step, main.go:93-105): a v1-era data file upgrades in place, and a
+    file NEWER than the code refuses to open."""
+    import sqlite3
+
+    db = str(tmp_path / "meta.db")
+    # simulate a v1-era file: only the original table, version 1
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE resources (key TEXT PRIMARY KEY, val BLOB)")
+    con.execute("PRAGMA user_version = 1")
+    con.commit()
+    con.close()
+
+    st = SqliteStorage(db)
+    assert st.schema_version == len(SqliteStorage._MIGRATIONS)
+    # migrated column is live
+    from embeddinghub_tpu.featurestore.resources import Entity
+
+    st.put("ENTITY/user", Entity(name="user"))
+    assert st.get("ENTITY/user").name == "user"
+    con = sqlite3.connect(db)
+    (ts,) = con.execute(
+        "SELECT updated_at FROM resources WHERE key='ENTITY/user'"
+    ).fetchone()
+    assert ts and ts > 0
+    con.close()
+
+    # a file from the future refuses to open
+    con = sqlite3.connect(db)
+    con.execute(f"PRAGMA user_version = {len(SqliteStorage._MIGRATIONS) + 5}")
+    con.commit()
+    con.close()
+    with pytest.raises(fferr.InternalError):
+        SqliteStorage(db)
