@@ -267,6 +267,22 @@ class Dataset:
     def __len__(self) -> int:
         return len(self._rows) * self._repeat
 
+    def dataframe(self):
+        """The training set as a pandas DataFrame — feature columns
+        plus a ``label`` column (reference serving.py:578/683
+        Dataset.dataframe()/pandas()); combinators (repeat/shuffle/
+        batch) are iteration concerns and do not apply."""
+        import pandas as pd
+
+        if not self._rows:
+            return pd.DataFrame()
+        width = len(self._rows[0][0])
+        cols = [f"feature_{i}" for i in range(width)]
+        data = [list(f) + [label] for f, label in self._rows]
+        return pd.DataFrame(data, columns=cols + ["label"])
+
+    pandas = dataframe  # reference alias (serving.py:683)
+
     def __iter__(self) -> Iterator:
         rng = random.Random(self._seed)
 

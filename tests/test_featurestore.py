@@ -780,3 +780,26 @@ def test_sqlite_storage_migrations(tmp_path):
     con.close()
     with pytest.raises(fferr.InternalError):
         SqliteStorage(db)
+
+
+def test_training_set_dataframe(client):
+    """Dataset.dataframe()/pandas() — reference serving.py:578/683."""
+    _register_basic(client)
+    reg = client.registrar
+    reg.register_primary_data(
+        "buys", provider="warehouse",
+        location={"rows": [{"user_id": "u1", "b": 1, "ts": 3},
+                           {"user_id": "u2", "b": 0, "ts": 3}]},
+    )
+    reg.register_label(
+        "b", source=("buys", "default"), entity="user",
+        entity_column="user_id", value_column="b", timestamp_column="ts",
+    )
+    reg.register_training_set(
+        "m", label=("b", "default"), features=[("clicks", "default")]
+    )
+    client.apply()
+    df = client.training_set("m").dataframe()
+    assert list(df.columns) == ["feature_0", "label"]
+    assert sorted(zip(df["feature_0"], df["label"])) == [(15, 1), (20, 0)]
+    assert client.training_set("m").pandas().shape == (2, 2)
