@@ -141,7 +141,9 @@ def build_server(
     reference metadata server hosts Metadata + Tasks together
     (``metadata/metadata.go:1940``) — and the reference ``Api`` gateway
     surface incl. the WriteFeatures/WriteLabels streams (api/api.go)."""
-    server = grpc.server(
+    from embeddinghub_tpu.featurestore.interceptors import make_server
+
+    server = make_server(
         cf.ThreadPoolExecutor(max_workers=16),
         interceptors=interceptors or (),
     )

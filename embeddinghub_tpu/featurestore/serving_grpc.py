@@ -306,7 +306,9 @@ class FeatureService(pb_grpc.FeatureServicer):
 
 
 def build_server(address: str, serving: ServingClient) -> grpc.Server:
-    server = grpc.server(cf.ThreadPoolExecutor(max_workers=32))
+    from embeddinghub_tpu.featurestore.interceptors import make_server
+
+    server = make_server(cf.ThreadPoolExecutor(max_workers=32))
     pb_grpc.add_FeatureServicer_to_server(FeatureService(serving), server)
     from embeddinghub_tpu.utils.channels import add_server_port
 

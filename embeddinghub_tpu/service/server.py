@@ -251,7 +251,9 @@ def build_server(
         else EmbeddingHub.in_memory(engine=config.engine)
     )
     service = EmbeddingHubService(store, config)
-    server = grpc.server(cf.ThreadPoolExecutor(max_workers=max_workers))
+    from embeddinghub_tpu.featurestore.interceptors import make_server
+
+    server = make_server(cf.ThreadPoolExecutor(max_workers=max_workers))
     pb_grpc.add_EmbeddingHubServicer_to_server(service, server)
     try:
         from grpc_health.v1 import health, health_pb2_grpc
