@@ -146,6 +146,10 @@ def main():
                          "pools for the lowest-routing-margin rows)")
     ap.add_argument("--force-cluster", action="store_true",
                     help="route through the cluster build below 2M")
+    ap.add_argument("--exact", action="store_true",
+                    help="force the exact O(n^2)-pool build past 2M — "
+                         "the quality-ceiling referee for the cluster "
+                         "path at a given n")
     ap.add_argument("--stream", type=int, default=0,
                     help="after the sweep, stream this many fresh rows "
                          "through the fused wave path and re-measure "
@@ -184,6 +188,8 @@ def main():
                     ef_construction=args.efc, capacity=args.n)
     if args.force_cluster:
         idx.exact_build_max = 1024
+    if args.exact:
+        idx.exact_build_max = args.n + 1
     idx.cluster_target = args.target
     idx.cluster_probes = args.probes
     idx.cluster_refine_rounds = args.refine
@@ -202,7 +208,8 @@ def main():
         t0 = time.time()
         _, ids = idx.search(test, args.k, ef=ef)
         dt = time.time() - t0
-        report(engine="hnsw-cluster", n=args.n, m=args.m, efc=args.efc,
+        report(engine="hnsw-exact" if args.exact else "hnsw-cluster",
+               n=args.n, m=args.m, efc=args.efc,
                ef=ef, recall=round(recall(ids, gt, args.k), 4),
                qps=round(len(test) / dt, 1), build_s=round(build_s, 1))
 
