@@ -146,6 +146,10 @@ def main():
                          "pools for the lowest-routing-margin rows)")
     ap.add_argument("--force-cluster", action="store_true",
                     help="route through the cluster build below 2M")
+    ap.add_argument("--seed-probes", type=int, default=0,
+                    help="after the classic sweep, enable centroid-"
+                         "routed multi-entry beam seeding "
+                         "(HNSWIndex.build_route) and sweep again")
     ap.add_argument("--exact", action="store_true",
                     help="force the exact O(n^2)-pool build past 2M — "
                          "the quality-ceiling referee for the cluster "
@@ -203,15 +207,29 @@ def main():
            repair_frac=args.repair_frac, build_s=round(build_s, 1),
            stats=getattr(idx, "_cluster_stats", None))
 
-    for ef in [int(e) for e in args.efs.split(",")]:
-        idx.search(test[:8], args.k, ef=ef)  # warm
+    base_engine = "hnsw-exact" if args.exact else "hnsw-cluster"
+
+    def sweep(tag):
+        for ef in [int(e) for e in args.efs.split(",")]:
+            idx.search(test[:8], args.k, ef=ef)  # warm
+            t0 = time.time()
+            _, ids = idx.search(test, args.k, ef=ef)
+            dt = time.time() - t0
+            report(engine=tag, n=args.n, m=args.m, efc=args.efc,
+                   ef=ef, recall=round(recall(ids, gt, args.k), 4),
+                   qps=round(len(test) / dt, 1), build_s=round(build_s, 1))
+
+    sweep(base_engine)
+
+    if args.seed_probes:
+        # centroid-routed multi-entry search: same graph, same ef —
+        # only the beam's starting set changes (HNSWIndex.build_route)
         t0 = time.time()
-        _, ids = idx.search(test, args.k, ef=ef)
-        dt = time.time() - t0
-        report(engine="hnsw-exact" if args.exact else "hnsw-cluster",
-               n=args.n, m=args.m, efc=args.efc,
-               ef=ef, recall=round(recall(ids, gt, args.k), 4),
-               qps=round(len(test) / dt, 1), build_s=round(build_s, 1))
+        idx.build_route(seed_probes=args.seed_probes)
+        report(event="route", seed_probes=args.seed_probes,
+               route_s=round(time.time() - t0, 1))
+        sweep(base_engine + "+seed")
+        idx.seed_probes = 0  # stream leg compares against the classic path
 
     if args.stream:
         stream_into(idx, train, test, gt, args)

@@ -197,7 +197,10 @@ class HNSWIndex(Index):
         # _sync_host downloads it (snapshot / remove / update paths).
         self._host_stale = False
         self._wave_fn = None
-        self._gs_fns: dict[int, object] = {}
+        self._gs_fns: dict[tuple, object] = {}
+        # centroid-routed multi-entry search (build_route): 0 = classic
+        # single-entry descent search
+        self.seed_probes = 0
 
     # ---------------------------------------------------------------- helpers
 
@@ -1618,6 +1621,88 @@ class HNSWIndex(Index):
         self._clear_dirty()
         return state
 
+    def build_route(self, seed_probes: int = 8, k: int | None = None):
+        """Enable centroid-routed multi-entry search: fit (or reuse the
+        cluster build's) k-means routing state, compute each cluster's
+        medoid row, and seed every layer-0 beam with the query's
+        ``seed_probes`` nearest clusters' medoids alongside the classic
+        descent entry.
+
+        Motivation (RESULTS.md "The 4M run"): at multi-million-row
+        density the single-entry greedy descent is the recall@ef100
+        bottleneck — the walk starts too far from the query's region.
+        One [B, K] MXU matmul routes the query to K clusters for ~free
+        on this hardware (the same inversion the cluster BUILD uses);
+        hnswlib has no analog because a CPU can't afford the matmul.
+        Works for any construction path (exact, cluster-routed,
+        restored) — no reference analog (index.cc searches descend from
+        the single top-layer entry).
+        """
+        route = getattr(self, "_cluster_route", None)
+        state = self._device_arrays()
+        if route is None or "cent" not in route:
+            from embeddinghub_tpu.ops import kmeans as km
+
+            if k is None:
+                k = max(16, next_pow2(
+                    max(1, self._size // max(self.cluster_target, 1)),
+                    floor=16,
+                ))
+            self._sync_host()
+            live = np.flatnonzero(self._hvalid)
+            samp = live[:: max(1, live.size // (1 << 18))][: 1 << 18]
+            cent = km.fit_kmeans(
+                jnp.asarray(self._prep(self._hx[samp])), k,
+                iters=8, seed=11, limit=samp.size,
+            )
+            assign = km.assign_clusters(state["x"], cent)
+            route = self._cluster_route = {
+                "cent": np.asarray(cent, np.float32),
+                "assign": np.asarray(assign, np.int32),
+            }
+        cent = route["cent"]
+        assign = route["assign"]
+        cap = self._cap
+        if assign.shape[0] < cap:  # rows streamed past the build's n
+            assign = np.concatenate([
+                assign,
+                np.full((cap - assign.shape[0],), -1, np.int32),
+            ])
+        # per-row squared distance to its own centroid, chunked on
+        # device (a [cap, K] distance matrix would be huge at 4M+)
+        cent_d = jnp.asarray(cent)
+        d2 = np.empty((cap,), np.float32)
+        step = 1 << 18
+        safe_assign = np.maximum(assign, 0)
+        for s in range(0, cap, step):
+            e = min(cap, s + step)
+            xc = jax.lax.dynamic_slice_in_dim(state["x"], s, e - s)
+            cc = cent_d[jnp.asarray(safe_assign[s:e])]
+            d2[s:e] = np.asarray(((xc - cc) ** 2).sum(axis=1))
+        valid = np.asarray(state["valid"])
+        d2[~valid[:cap]] = np.inf
+        d2[assign < 0] = np.inf
+        # medoid per cluster = valid row with min distance to centroid
+        medoids = np.full((cent.shape[0],), -1, np.int32)
+        order = np.lexsort((d2, assign))
+        ga = assign[order]
+        heads = np.ones(ga.shape[0], bool)
+        heads[1:] = ga[1:] != ga[:-1]
+        for pos in np.flatnonzero(heads):
+            c = ga[pos]
+            if c >= 0 and np.isfinite(d2[order[pos]]):
+                medoids[c] = order[pos]
+        route["medoids"] = medoids
+        route["_dev"] = (
+            jnp.asarray(self._prep(cent.astype(np.float32))),
+            jnp.asarray(
+                np.einsum("kd,kd->k", cent, cent).astype(np.float32)
+            ),
+            jnp.asarray(medoids),
+        )
+        self.seed_probes = int(seed_probes)
+        return self
+
     def search(
         self, queries: np.ndarray, k: int, ef: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -1634,10 +1719,16 @@ class HNSWIndex(Index):
         q = np.zeros((pb, self.dims), np.float32)
         q[:b] = self._prep(queries)
         ef_l = min(next_pow2(ef, floor=8), 1024)
+        route = getattr(self, "_cluster_route", {}) or {}
+        seeds = (
+            min(self.seed_probes, ef_l - 1)
+            if self.seed_probes > 0 and route.get("_dev") is not None
+            else 0
+        )
         # fused full-graph search: upper-layer descent + layer-0 beam in
         # ONE dispatch (the per-layer dispatch loop cost one tunnel round
         # trip per layer in r2)
-        gs = self._gs_fns.get(ef_l)
+        gs = self._gs_fns.get((ef_l, seeds))
         if gs is None:
             from embeddinghub_tpu.ops import wave_insert
 
@@ -1646,17 +1737,33 @@ class HNSWIndex(Index):
                 ef=ef_l,
                 expand=self.expand,
                 max_hops=2 * ef_l + 64,
+                seed_probes=seeds,
             )
-            self._gs_fns[ef_l] = gs
-        d, ids = gs(
-            jnp.asarray(q),
-            jnp.int32(self._entry),
-            state["nb0"],
-            state["ustack"],
-            state["x"],
-            state["x_sq"],
-            state["valid"],
-        )
+            self._gs_fns[(ef_l, seeds)] = gs
+        if seeds:
+            cent_d, cent_sq_d, medoids_d = route["_dev"]
+            d, ids = gs(
+                jnp.asarray(q),
+                jnp.int32(self._entry),
+                cent_d,
+                cent_sq_d,
+                medoids_d,
+                state["nb0"],
+                state["ustack"],
+                state["x"],
+                state["x_sq"],
+                state["valid"],
+            )
+        else:
+            d, ids = gs(
+                jnp.asarray(q),
+                jnp.int32(self._entry),
+                state["nb0"],
+                state["ustack"],
+                state["x"],
+                state["x_sq"],
+                state["valid"],
+            )
         d = np.asarray(d)[:b, :k]
         ids = np.asarray(ids)[:b, :k].astype(np.int64)
         ids[~np.isfinite(d)] = -1

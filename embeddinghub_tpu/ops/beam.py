@@ -58,7 +58,7 @@ def _pairwise_to_neighbors(q, nvecs, metric, nsq):
 )
 def beam_search(
     q: jax.Array,           # [B, D] queries (f32)
-    entry_ids: jax.Array,   # [B] entry node per query (int32)
+    entry_ids: jax.Array,   # [B] or [B, S] entry node(s) per query (int32)
     neighbors: jax.Array,   # [N, M] int32 neighbor table, -1 padded
     x: jax.Array,           # [N, D] vectors (f32)
     x_sq: jax.Array,        # [N] squared norms (l2) / ones
@@ -71,6 +71,11 @@ def beam_search(
     with_hops: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Beam search one layer from ``entry_ids``.
+
+    ``entry_ids`` may be ``[B, S]`` for multi-entry seeding (S < ef):
+    the pool starts with all S seeds scored, duplicates masked — the
+    centroid-routed search uses this to replace the single descent
+    entry with one seed per probed cluster.
 
     Returns ``(dist [B, ef], ids [B, ef])`` sorted nearest-first
     (+inf / -1 padding); with ``with_hops`` a third scalar — the
@@ -85,17 +90,29 @@ def beam_search(
     if metric == "cosine":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
 
-    # --- init pool with the entry points ---
+    # --- init pool with the entry point(s) ---
     entry_ids = entry_ids.astype(jnp.int32)
-    evecs = x[entry_ids]
-    ed = _pairwise_to_neighbors(
-        q, evecs[:, None, :], metric, x_sq[entry_ids][:, None]
-    )
-    ed = jnp.where(valid[entry_ids][:, None], ed, INF)
+    if entry_ids.ndim == 1:
+        entry_ids = entry_ids[:, None]
+    s = entry_ids.shape[1]
+    if s >= ef:
+        raise ValueError(f"seed count {s} must be < ef {ef}")
+    # mask duplicate seeds (same id at an earlier column) and negatives
+    # so the pool never holds one node twice
+    first = jnp.ones((b, s), bool)
+    for j in range(1, s):
+        dup_j = (entry_ids[:, :j] == entry_ids[:, j : j + 1]).any(axis=1)
+        first = first.at[:, j].set(~dup_j)
+    live_seed = first & (entry_ids >= 0)
+    safe_seed = jnp.maximum(entry_ids, 0)
+    evecs = x[safe_seed]                                   # [B, S, D]
+    ed = _pairwise_to_neighbors(q, evecs, metric, x_sq[safe_seed])
+    ed = jnp.where(live_seed & valid[safe_seed], ed, INF)
+    seed_ids = jnp.where(live_seed, entry_ids, -1)
 
-    pool_d = jnp.concatenate([ed, jnp.full((b, ef - 1), INF)], axis=1)
+    pool_d = jnp.concatenate([ed, jnp.full((b, ef - s), INF)], axis=1)
     pool_i = jnp.concatenate(
-        [entry_ids[:, None], jnp.full((b, ef - 1), -1, jnp.int32)], axis=1
+        [seed_ids, jnp.full((b, ef - s), -1, jnp.int32)], axis=1
     )
     pool_x = jnp.zeros((b, ef), bool)
 

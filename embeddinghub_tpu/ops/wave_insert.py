@@ -307,13 +307,47 @@ def make_wave_commit(
     return wave_commit
 
 
-def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int):
+def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
+                      seed_probes: int = 0):
     """Fused full-graph query: greedy descent through the stacked upper
     layers + layer-0 beam, one dispatch (the r2 search paid one dispatch
-    per layer)."""
+    per layer).
+
+    With ``seed_probes > 0`` the returned fn additionally takes cluster
+    routing state ``(cent [K, D], cent_sq [K], medoids [K])`` and seeds
+    the layer-0 beam with the medoid row of each of the query's
+    ``seed_probes`` nearest clusters ALONGSIDE the classic descent
+    entry — one [B, K] MXU matmul replaces most of the serial descent's
+    job of finding a good start region, which is exactly where the
+    single-entry walk underperforms on dense multi-million-row arenas
+    (greedy descent stalling in cluster-local minima was the measured
+    1M failure mode; at 4M the residual @ef100 gap concentrates there
+    too — RESULTS.md "The 4M run")."""
+
+    if seed_probes <= 0:
+
+        @jax.jit
+        def graph_search(q, entry, nb0, upper, x, x_sq, valid):
+            b = q.shape[0]
+            L = upper.shape[0]
+            cur = jnp.full((b,), entry, jnp.int32)
+            for layer in range(L, 0, -1):
+                cur = beam_ops.greedy_descend(
+                    q, cur, upper[layer - 1], x, x_sq, metric=metric,
+                )
+            return beam_ops.beam_search(
+                q, cur, nb0, x, x_sq, valid,
+                metric=metric, ef=ef, expand=min(expand, ef),
+                max_hops=max_hops,
+            )
+
+        return graph_search
+
+    s = seed_probes
 
     @jax.jit
-    def graph_search(q, entry, nb0, upper, x, x_sq, valid):
+    def graph_search_routed(q, entry, cent, cent_sq, medoids,
+                            nb0, upper, x, x_sq, valid):
         b = q.shape[0]
         L = upper.shape[0]
         cur = jnp.full((b,), entry, jnp.int32)
@@ -321,10 +355,17 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int):
             cur = beam_ops.greedy_descend(
                 q, cur, upper[layer - 1], x, x_sq, metric=metric,
             )
+        dots = jax.lax.dot_general(
+            q, cent, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        score = 2.0 * dots - cent_sq[None, :] if metric == "l2" else dots
+        _, cid = jax.lax.top_k(score, min(s, cent.shape[0]))
+        entries = jnp.concatenate([cur[:, None], medoids[cid]], axis=1)
         return beam_ops.beam_search(
-            q, cur, nb0, x, x_sq, valid,
+            q, entries, nb0, x, x_sq, valid,
             metric=metric, ef=ef, expand=min(expand, ef),
             max_hops=max_hops,
         )
 
-    return graph_search
+    return graph_search_routed

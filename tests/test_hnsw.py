@@ -396,3 +396,58 @@ def test_cluster_build_skewed_truncation(rng):
     # blob member is a near-tie; distance recall absorbs that)
     rb = dist_recall(idx_c, q_blob, ef=100)
     assert rb >= 0.90, rb
+
+
+def test_routed_multi_entry_search(rng):
+    """Centroid-routed multi-entry beam seeding (HNSWIndex.build_route):
+    same graph, same ef — only the beam's starting set changes — so
+    recall must never drop below the classic single-entry search, and
+    on clustered data (where greedy descent strands in local minima)
+    it should recover it. Works on any construction path."""
+    n, d, k = 6144, 24, 10
+    # clustered data: the adversarial regime for a single-entry descent
+    centers = 3.0 * rng.standard_normal((48, d)).astype(np.float32)
+    assign = rng.integers(0, 48, n)
+    x = (centers[assign] + 0.3 * rng.standard_normal((n, d))).astype(np.float32)
+    q = (centers[rng.integers(0, 48, 64)]
+         + 0.3 * rng.standard_normal((64, d))).astype(np.float32)
+    oracle = oracle_topk(q, x, k)
+
+    idx = HNSWIndex(d, m=8, ef_construction=60, capacity=n)
+    idx.exact_build_max = 512        # cluster path, stores routing state
+    idx.cluster_target = 256
+    idx.cluster_probes = 4
+    idx.add(np.arange(n), x)
+
+    def recall(ef):
+        _, got = idx.search(q, k, ef=ef)
+        return np.mean(
+            [len(set(got[i]) & set(oracle[i])) / k for i in range(len(q))]
+        )
+
+    base = recall(40)
+    idx.build_route(seed_probes=8)
+    seeded = recall(40)
+    assert seeded >= base - 0.01, (base, seeded)
+    assert seeded >= 0.9, seeded
+
+    # toggling back restores the classic path
+    idx.seed_probes = 0
+    assert abs(recall(40) - base) < 1e-6
+
+    # build_route also works when NO cluster state exists (exact build)
+    idx2 = HNSWIndex(d, m=8, ef_construction=60, capacity=2048)
+    x2 = x[:2048]
+    idx2.add(np.arange(2048), x2)
+    assert not hasattr(idx2, "_cluster_route")
+    idx2.build_route(seed_probes=4)
+    o2 = oracle_topk(q, x2, k)
+    _, got = idx2.search(q, k, ef=40)
+    r2 = np.mean([len(set(got[i]) & set(o2[i])) / k for i in range(len(q))])
+    assert r2 >= 0.9, r2
+
+    # removed medoid rows are masked seeds, not crashes
+    med = [m for m in idx2._cluster_route["medoids"] if m >= 0][:2]
+    idx2.remove(np.asarray(med, np.int64))
+    _, got = idx2.search(q[:8], k, ef=40)
+    assert got.shape == (8, k)
