@@ -1809,6 +1809,14 @@ class HNSWIndex(Index):
                 flat.append([node] + lst + [-1] * (self.m - len(lst)))
             if flat:
                 arrs[f"upper{layer}"] = np.asarray(flat, np.int64)
+        route = getattr(self, "_cluster_route", None)
+        if route and "medoids" in route:
+            # seeded-search routing state survives snapshot/restore
+            arrs["route_cent"] = route["cent"]
+            arrs["route_medoids"] = route["medoids"]
+            arrs["route_seed_probes"] = np.asarray(
+                [self.seed_probes], np.int64
+            )
         return arrs
 
     @classmethod
@@ -1839,4 +1847,18 @@ class HNSWIndex(Index):
                     int(row[0]): [int(v) for v in row[1:] if v >= 0]
                     for row in arr
                 }
+        if "route_cent" in arrays:
+            cent = np.asarray(arrays["route_cent"], np.float32)
+            medoids = np.asarray(arrays["route_medoids"], np.int32)
+            idx._cluster_route = {
+                "cent": cent,
+                "medoids": medoids,
+                "_dev": (
+                    jnp.asarray(idx._prep(cent)),
+                    jnp.asarray(np.einsum("kd,kd->k", cent, cent)
+                                .astype(np.float32)),
+                    jnp.asarray(medoids),
+                ),
+            }
+            idx.seed_probes = int(arrays["route_seed_probes"][0])
         return idx

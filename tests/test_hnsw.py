@@ -451,3 +451,21 @@ def test_routed_multi_entry_search(rng):
     idx2.remove(np.asarray(med, np.int64))
     _, got = idx2.search(q[:8], k, ef=40)
     assert got.shape == (8, k)
+
+
+def test_routed_search_snapshot_roundtrip(rng):
+    """Routing state (centroids + medoids + seed_probes) persists in
+    state_arrays, so a restored index answers seeded searches
+    identically to the live one."""
+    n, d, k = 2048, 16, 5
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = HNSWIndex(d, m=8, ef_construction=50, capacity=n)
+    idx.add(np.arange(n), x)
+    idx.build_route(seed_probes=4)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    _, live = idx.search(q, k, ef=40)
+
+    idx2 = HNSWIndex.from_state(d, "l2", idx.state_arrays())
+    assert idx2.seed_probes == 4
+    _, restored = idx2.search(q, k, ef=40)
+    np.testing.assert_array_equal(restored, live)
