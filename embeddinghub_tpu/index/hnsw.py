@@ -201,6 +201,11 @@ class HNSWIndex(Index):
         # centroid-routed multi-entry search (build_route): 0 = classic
         # single-entry descent search
         self.seed_probes = 0
+        # >0: build_route fires automatically once size crosses
+        # auto_route_min, and refreshes when the index doubles past the
+        # route's build size (store knob EMBEDDINGHUB_HNSW_SEED_PROBES)
+        self.auto_seed_probes = 0
+        self.auto_route_min = 1 << 20
 
     # ---------------------------------------------------------------- helpers
 
@@ -1640,6 +1645,9 @@ class HNSWIndex(Index):
         """
         route = getattr(self, "_cluster_route", None)
         state = self._device_arrays()
+        if route is not None and route.get("built_size"):
+            if self._size >= 2 * route["built_size"]:
+                route = None  # stale — the index doubled; refit
         if route is None or "cent" not in route:
             from embeddinghub_tpu.ops import kmeans as km
 
@@ -1693,6 +1701,7 @@ class HNSWIndex(Index):
             if c >= 0 and np.isfinite(d2[order[pos]]):
                 medoids[c] = order[pos]
         route["medoids"] = medoids
+        route["built_size"] = self._size
         route["_dev"] = (
             jnp.asarray(self._prep(cent.astype(np.float32))),
             jnp.asarray(
@@ -1720,6 +1729,12 @@ class HNSWIndex(Index):
         q[:b] = self._prep(queries)
         ef_l = min(next_pow2(ef, floor=8), 1024)
         route = getattr(self, "_cluster_route", {}) or {}
+        if self.auto_seed_probes > 0 and self._size >= self.auto_route_min:
+            if route.get("_dev") is None or self._size >= 2 * route.get(
+                "built_size", self._size + 1
+            ):
+                self.build_route(self.auto_seed_probes)
+                route = self._cluster_route
         seeds = (
             min(self.seed_probes, ef_l - 1)
             if self.seed_probes > 0 and route.get("_dev") is not None

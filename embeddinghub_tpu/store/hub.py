@@ -86,13 +86,17 @@ class EmbeddingHub:
             from embeddinghub_tpu.utils.config import get_config
 
             cfg = get_config()
-            return HNSWIndex(
+            idx = HNSWIndex(
                 dims,
                 metric=metric,
                 m=cfg.hnsw_m,
                 ef_construction=cfg.hnsw_ef_construction,
                 ef_search=cfg.hnsw_ef_search,
             )
+            # opt-in centroid-routed multi-entry search at scale
+            idx.auto_seed_probes = cfg.hnsw_seed_probes
+            idx.auto_route_min = cfg.hnsw_route_min
+            return idx
         if self.engine == "hnsw-sharded":
             from embeddinghub_tpu.parallel.sharded_hnsw import (
                 ShardedHNSWIndex,

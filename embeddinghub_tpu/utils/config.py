@@ -50,6 +50,11 @@ class Config:
     hnsw_m: int = 16
     hnsw_ef_construction: int = 200
     hnsw_ef_search: int = 10
+    # >0 enables centroid-routed multi-entry search once an index
+    # first exceeds hnsw_route_min rows (HNSWIndex.build_route — no
+    # hnswlib analog; the [B, K] routing matmul is ~free on the MXU)
+    hnsw_seed_probes: int = 0
+    hnsw_route_min: int = 1 << 20
     initial_capacity: int = 128         # reference index.h:21, doubles on growth
 
     # Sharding
@@ -69,6 +74,8 @@ class Config:
             hnsw_m=_env_int("EMBEDDINGHUB_HNSW_M", 16),
             hnsw_ef_construction=_env_int("EMBEDDINGHUB_HNSW_EFC", 200),
             hnsw_ef_search=_env_int("EMBEDDINGHUB_HNSW_EF", 10),
+            hnsw_seed_probes=_env_int("EMBEDDINGHUB_HNSW_SEED_PROBES", 0),
+            hnsw_route_min=_env_int("EMBEDDINGHUB_HNSW_ROUTE_MIN", 1 << 20),
             initial_capacity=_env_int("EMBEDDINGHUB_INIT_CAP", 128),
         )
 

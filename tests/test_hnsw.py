@@ -469,3 +469,25 @@ def test_routed_search_snapshot_roundtrip(rng):
     assert idx2.seed_probes == 4
     _, restored = idx2.search(q, k, ef=40)
     np.testing.assert_array_equal(restored, live)
+
+
+def test_auto_route_trigger(rng):
+    """auto_seed_probes: the route builds itself when size crosses
+    auto_route_min, and refits after the index doubles past the
+    route's build size (the store's EMBEDDINGHUB_HNSW_SEED_PROBES
+    knob plumbs to this)."""
+    n, d = 1536, 12
+    x = rng.standard_normal((2 * n, d)).astype(np.float32)
+    idx = HNSWIndex(d, m=8, ef_construction=40, capacity=2 * n)
+    idx.auto_seed_probes = 4
+    idx.auto_route_min = 1024
+    idx.add(np.arange(512), x[:512])
+    idx.search(x[:4], 3, ef=20)                 # below min: no route
+    assert getattr(idx, "_cluster_route", None) is None
+    idx.add(np.arange(512, n), x[512:n])
+    idx.search(x[:4], 3, ef=20)                 # crossed min: builds
+    assert idx._cluster_route.get("built_size") == n
+    assert idx.seed_probes == 4
+    idx.add(np.arange(n, 2 * n + 0), x[n:])
+    idx.search(x[:4], 3, ef=20)                 # doubled: refits
+    assert idx._cluster_route["built_size"] == 2 * n
