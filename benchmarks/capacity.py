@@ -95,6 +95,15 @@ def main():
                          "2 bytes/elem, near-exact rerank)")
     ap.add_argument("--noise", type=float, default=NOISE,
                     help="intra-cluster spread (see gen_chunk)")
+    ap.add_argument("--audit", action="store_true",
+                    help="after the recall referee, run the measured "
+                         "post-ingest quant audit (FlatIndex."
+                         "audit_and_escalate): escalate the arena dtype "
+                         "until device recall clears 0.95 or HBM blocks "
+                         "the wider dtype — the at-scale answer to the "
+                         "pool-containment regime the sample guard "
+                         "cannot see (r4_cap50m_b256.log: 0.794 served "
+                         "from an arena whose sample simulated >0.99)")
     args = ap.parse_args()
     globals()["NOISE"] = args.noise
 
@@ -166,6 +175,31 @@ def main():
     ]))
     rep(stage="recall", queries=nq, k=args.k, recall_at_k=round(recall, 4),
         oracle_seconds=round(t_or, 1))
+
+    # ---- measured post-ingest quant audit (opt-in) ----
+    if args.audit:
+        t0 = time.perf_counter()
+        report = idx.audit_and_escalate(bar=0.95, nq=min(nq, 64), k=args.k)
+        rep(stage="quant_audit", seconds=round(time.perf_counter() - t0, 1),
+            **report)
+        if report["escalated"]:
+            # re-measure what the escalated arena actually serves
+            t0 = time.perf_counter()
+            for _ in range(args.qbatches):
+                _, ii = idx.search(qv, args.k, with_distances=False,
+                                   query_dtype="bfloat16")
+            t_q = time.perf_counter() - t0
+            _, got = idx.search(
+                np.concatenate([qr, np.zeros((max(0, args.batch - nq), d),
+                                             np.float32)]), args.k)
+            got = np.asarray(got)[:nq]
+            recall = float(np.mean([
+                len(set(got[i].tolist()) & set(oracle[i].tolist())) / args.k
+                for i in range(nq)
+            ]))
+            rep(stage="post_audit", storage=idx.storage_dtype,
+                qps=round(args.batch * args.qbatches / t_q, 1),
+                recall_at_k=round(recall, 4))
 
     # ---- streaming inserts into the live quantized index ----
     wave = 8192

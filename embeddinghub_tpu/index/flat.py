@@ -66,7 +66,11 @@ _GUARD_SAMPLE = 16384
 _GUARD_QUERIES = 256
 _GUARD_K = 10
 _GUARD_RECALL = 0.95
-_ESCALATION = {"int8": "int8x2", "int8x2": "bfloat16"}
+# The pre-upload sample guard only ever walks int8 -> int8x2 -> bfloat16
+# (its while-loop gates on the int8 dtypes); the measured post-ingest
+# audit (FlatIndex.audit_and_escalate) can take the last step to f32
+# when even bf16 score noise sits above the true neighbor gaps.
+_ESCALATION = {"int8": "int8x2", "int8x2": "bfloat16", "bfloat16": "float32"}
 
 _log = __import__("logging").getLogger("embeddinghub_tpu.index")
 
@@ -119,6 +123,31 @@ def _scatter_rows(x, x_sq, valid, rows, vecs, vecs_sq):
     x_sq = x_sq.at[rows].set(vecs_sq)
     valid = valid.at[rows].set(True)
     return x, x_sq, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_rows_int8(x, x_sq, valid, scales, rows, qrows, vecs_sq, srows):
+    # Every arena buffer is donated: at 50M rows the previous undonated
+    # ``.at[].set`` on the scale/residual arenas forced full-size copies
+    # (4.8 GB for the int8x2 lo arena alone) and OOMed the chip mid
+    # stream-insert (benchmarks/artifacts/r4_cap50m_b256.log).
+    x = x.at[rows].set(qrows)
+    x_sq = x_sq.at[rows].set(vecs_sq)
+    valid = valid.at[rows].set(True)
+    scales = scales.at[rows].set(srows)
+    return x, x_sq, valid, scales
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _scatter_rows_int8x2(
+    x, x_lo, x_sq, valid, scales, rows, qrows, lorows, vecs_sq, srows
+):
+    x = x.at[rows].set(qrows)
+    x_lo = x_lo.at[rows].set(lorows)
+    x_sq = x_sq.at[rows].set(vecs_sq)
+    valid = valid.at[rows].set(True)
+    scales = scales.at[rows].set(srows)
+    return x, x_lo, x_sq, valid, scales
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -389,25 +418,27 @@ class FlatIndex(Index):
             vecs = vecs / np.maximum(norms, 1e-30)
         valid_bits = self._hvalid[rows]
         if self.storage_dtype in ("int8", "int8x2"):
-            # int8 scatter: re-quantize the touched rows host-side
+            # int8 scatter: re-quantize the touched rows host-side, then
+            # one fully-donated scatter over every arena buffer (see
+            # _scatter_rows_int8x2 for why donation is load-bearing).
             qrows, scales, lorows = quantize_rows(
                 vecs, residual=self.storage_dtype == "int8x2"
             )
-            self._dscales = self._dscales.at[jnp.asarray(rows)].set(
-                jnp.asarray(scales)
-            )
+            jrows = jnp.asarray(rows)
+            jsq = jnp.asarray(np.einsum("nd,nd->n", vecs, vecs))
             if self.storage_dtype == "int8x2":
-                self._dx_lo = self._dx_lo.at[jnp.asarray(rows)].set(
-                    jnp.asarray(lorows)
+                (self._dx, self._dx_lo, self._dx_sq, self._dvalid,
+                 self._dscales) = _scatter_rows_int8x2(
+                    self._dx, self._dx_lo, self._dx_sq, self._dvalid,
+                    self._dscales, jrows, jnp.asarray(qrows),
+                    jnp.asarray(lorows), jsq, jnp.asarray(scales),
                 )
-            self._dx, self._dx_sq, self._dvalid = _scatter_rows(
-                self._dx,
-                self._dx_sq,
-                self._dvalid,
-                jnp.asarray(rows),
-                jnp.asarray(qrows),
-                jnp.asarray(np.einsum("nd,nd->n", vecs, vecs)),
-            )
+            else:
+                (self._dx, self._dx_sq, self._dvalid,
+                 self._dscales) = _scatter_rows_int8(
+                    self._dx, self._dx_sq, self._dvalid, self._dscales,
+                    jrows, jnp.asarray(qrows), jsq, jnp.asarray(scales),
+                )
             if not valid_bits.all():
                 dead = rows[~valid_bits]
                 padded = next_pow2(dead.size, floor=8)
@@ -682,6 +713,145 @@ class FlatIndex(Index):
 
     def vectors(self, rows: np.ndarray) -> np.ndarray:
         return self._hx[np.asarray(rows, dtype=np.int64)]
+
+    # ----------------------------------------------------------- quant audit
+
+    def _host_oracle(self, q: np.ndarray, k: int, block: int = 1 << 21):
+        """Exact f32 top-k ids on the host arena (blocked matmul)."""
+        qn = q
+        if self.metric == "cosine":
+            qn = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-30
+            )
+        best_s = np.full((len(q), k), -np.inf, np.float32)
+        best_i = np.full((len(q), k), -1, np.int64)
+        for s in range(0, self._cap, block):
+            e = min(self._cap, s + block)
+            blk = self._hx[s:e]
+            if self.metric == "cosine":
+                nrm = np.linalg.norm(blk, axis=1, keepdims=True)
+                blk = blk / np.maximum(nrm, 1e-30)
+                sc = qn @ blk.T
+            else:
+                sc = 2.0 * (qn @ blk.T) - np.einsum(
+                    "nd,nd->n", blk, blk, dtype=np.float32
+                )[None, :]
+            sc = np.where(self._hvalid[None, s:e], sc, -np.inf)
+            cat_s = np.concatenate([best_s, sc], axis=1)
+            cat_i = np.concatenate(
+                [best_i, np.broadcast_to(np.arange(s, e), sc.shape)], axis=1
+            )
+            top = np.argpartition(-cat_s, k - 1, axis=1)[:, :k]
+            best_s = np.take_along_axis(cat_s, top, axis=1)
+            best_i = np.take_along_axis(cat_i, top, axis=1)
+        return best_i
+
+    def audit_recall(
+        self, nq: int = 64, k: int = 10, rng=None
+    ) -> float:
+        """Measured recall@k of the live device path against an exact
+        host-oracle scan — the at-scale referee the sample-simulating
+        quant guard cannot be.  The guard's 16k-row host simulation is
+        blind to the *pool-containment* regime: at deep density the
+        phase-1 int8 hi-plane ranking pushes true neighbors out of the
+        k*oversample candidate pool, a failure that only turns on with
+        the full row count (measured: 50M-row int8x2 arena served
+        recall 0.794 while the 16k sample simulated >0.99;
+        benchmarks/artifacts/r4_cap50m_b256.log).  Extrapolating the
+        sample's impostor ranks linearly in N over-predicts the failure
+        instead (it freezes the sample's top-k, but at scale the true
+        top-k move up in score), so the only trustworthy signal is this
+        direct measurement.  Cost: nq full-arena host matmuls
+        (~30-150 s at 50M x 96) + one device search — next to a
+        multi-minute quantize+upload.  Queries are live rows (the
+        self-match appears in both rankings, so it cancels out of the
+        comparison)."""
+        live = np.flatnonzero(self._hvalid)
+        if live.size == 0:
+            return 1.0
+        rng = np.random.default_rng(0xA0D17) if rng is None else rng
+        sel = rng.choice(live, size=min(nq, live.size), replace=False)
+        q = self._hx[sel]
+        self._sync()
+        _, got = self.search(q, k, with_distances=False)
+        got = np.asarray(got)
+        want = self._host_oracle(q, k)
+        return float(
+            np.mean(
+                [
+                    len(set(got[i].tolist()) & set(want[i].tolist())) / k
+                    for i in range(len(sel))
+                ]
+            )
+        )
+
+    def _device_arena_bytes(self, dtype: str) -> int:
+        per_row = {
+            "float32": 4 * self.dims,
+            "bfloat16": 2 * self.dims,
+            "int8": self.dims + 4,      # + f32 row scale
+            "int8x2": 2 * self.dims + 4,
+        }[dtype]
+        return self._cap * (per_row + 5)  # + f32 x_sq + valid
+
+    def _drop_device_arena(self) -> None:
+        """Free the device mirror NOW (not at GC time) so a re-upload in
+        a wider dtype never holds both arenas alive — at 50M rows that
+        double-residency alone exceeds HBM."""
+        for name in ("_dx", "_dx_lo", "_dx_sq", "_dvalid", "_dscales"):
+            a = getattr(self, name, None)
+            if a is not None and hasattr(a, "delete"):
+                a.delete()
+            setattr(self, name, None)
+        self._needs_full_sync = True
+
+    def audit_and_escalate(
+        self, bar: float = 0.95, nq: int = 64, k: int = 10
+    ) -> dict:
+        """Measure device recall (``audit_recall``) and escalate the
+        storage dtype (int8 -> int8x2 -> bfloat16) until it clears
+        ``bar`` or escalation becomes impossible (no wider dtype, or the
+        wider arena would not fit HBM).  This is the production-shape
+        answer to quantization at deep scale: decide from the measured
+        arena, not from a sample extrapolation.  Returns a report dict
+        with every (dtype, recall) audited and the escalations taken."""
+        report: dict = {"audited": [], "escalated": [], "fit_blocked": None}
+        while True:
+            r = self.audit_recall(nq=nq, k=k)
+            report["audited"].append({"storage": self.storage_dtype,
+                                      "recall": round(r, 4)})
+            if r >= bar or self.storage_dtype not in _ESCALATION:
+                break
+            nxt = _ESCALATION[self.storage_dtype]
+            need = self._device_arena_bytes(nxt)
+            limit = None
+            try:
+                stats = self._device.memory_stats()
+                if stats:
+                    limit = stats.get("bytes_limit")
+            except Exception:
+                pass
+            if limit and need > 0.95 * limit:
+                _log.warning(
+                    "quant audit: measured recall@%d %.3f < %.2f but a %s "
+                    "arena needs %.1f GB > HBM limit %.1f GB — serving "
+                    "stays on %s (degraded)",
+                    k, r, bar, nxt, need / 1e9, limit / 1e9,
+                    self.storage_dtype,
+                )
+                report["fit_blocked"] = nxt
+                break
+            _log.warning(
+                "quant audit: measured device recall@%d %.3f < %.2f at "
+                "%d rows — escalating storage %s -> %s and re-uploading",
+                k, r, bar, self._size, self.storage_dtype, nxt,
+            )
+            self.storage_dtype = nxt
+            self._guard_checked_size = self._size  # audit outranks guard
+            report["escalated"].append(nxt)
+            self._drop_device_arena()
+            self._sync()
+        return report
 
     # -------------------------------------------------------------- snapshot
 

@@ -135,3 +135,93 @@ def test_cosine_metric_guard():
     assert idx.storage_dtype in ("int8x2", "bfloat16")
     true = exact_oracle(x, q, 10, metric="cosine")
     assert recall(ids, true) >= 0.95
+
+
+# --------------------------------------------------------------------------
+# Post-ingest measured audit (FlatIndex.audit_recall / audit_and_escalate)
+#
+# The sample-simulating guard is blind to the POOL-CONTAINMENT regime:
+# phase-1 ranks by the int8 hi plane only, and when per-row scales are
+# inflated (one large-magnitude dim) the hi ordering scrambles and the
+# true top-k fall out of the k*oversample candidate pool.  The 50M-row
+# r4 capacity run served recall 0.794 from an arena whose 16k sample
+# simulated >0.99 (benchmarks/artifacts/r4_cap50m_b256.log).  The audit
+# measures the live device path against an exact host oracle instead.
+# --------------------------------------------------------------------------
+
+
+def outlier_scaled(n=4096, d=32, gap=5e-2, outlier=50.0, seed=3):
+    """Rows ~ u + small distinct offsets (true l2 gaps ~gap) plus ONE
+    constant-magnitude random-sign outlier dim.  The outlier sets every
+    row's int8 scale to ~outlier/127, so hi-plane dot noise (~0.2)
+    swamps the true gaps and phase-1 containment collapses, while
+    x_sq stays exact (constant offset) and cannot rescue the ordering."""
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal(d).astype(np.float32)
+    u /= np.linalg.norm(u)
+    x = u[None, :] + gap * rng.standard_normal((n, d)).astype(np.float32)
+    x[:, -1] = outlier * rng.choice([-1.0, 1.0], n)
+    return x.astype(np.float32)
+
+
+def test_audit_detects_containment_failure_and_escalates():
+    x = outlier_scaled()
+    n, d = x.shape
+    idx = FlatIndex(dims=d, metric="l2", storage_dtype="int8x2",
+                    capacity=n, quant_guard=False)
+    idx.add(np.arange(n), x)
+    low = idx.audit_recall(nq=32, k=10)
+    assert low < 0.6, low  # the regime the sample guard cannot see
+    report = idx.audit_and_escalate(bar=0.95, nq=32, k=10)
+    assert report["escalated"], report
+    assert idx.storage_dtype in ("bfloat16", "float32")
+    assert report["audited"][-1]["recall"] >= 0.9, report
+    # audited recalls are monotone non-decreasing along the ladder
+    recs = [a["recall"] for a in report["audited"]]
+    assert recs == sorted(recs), recs
+    # escalated arena still serves scatter inserts coherently (the probe
+    # must differ by >> f32 score rounding at |x|^2 ~ outlier^2 = 2500)
+    nv = x[0].copy()
+    nv[:8] = -nv[:8]
+    idx.add([n - 1], nv[None, :])
+    _, i = idx.search(nv[None, :], 1)
+    assert i[0, 0] == n - 1
+
+
+def test_audit_passes_clean_data_without_escalation():
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2048, 24)).astype(np.float32)
+    idx = FlatIndex(dims=24, metric="cosine", storage_dtype="int8",
+                    capacity=2048, quant_guard=False)
+    idx.add(np.arange(2048), x)
+    report = idx.audit_and_escalate(bar=0.95, nq=32, k=10)
+    assert not report["escalated"], report
+    assert idx.storage_dtype == "int8"
+    assert report["audited"][0]["recall"] >= 0.95
+
+
+def test_int8_scatter_path_keeps_scales_coherent():
+    """Regression for the r4 50M stream OOM fix: the int8/int8x2 dirty
+    scatter now updates hi/lo/scales/sq/valid in ONE donated jit call;
+    rows whose scale changes on update must still rank correctly."""
+    rng = np.random.default_rng(5)
+    n, d = 512, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    for dtype in ("int8", "int8x2"):
+        idx = FlatIndex(dims=d, metric="cosine", storage_dtype=dtype,
+                        capacity=n + 8, quant_guard=False)
+        idx.add(np.arange(n), x)
+        idx.search(x[:1], 1)  # force the full sync
+        # update an existing row to a very different scale + add a new one
+        big = (10.0 * x[3] + 5.0).astype(np.float32)
+        idx.add([3], big[None, :])
+        nv = rng.standard_normal(d).astype(np.float32)
+        idx.add([n], nv[None, :])
+        _, i3 = idx.search((big / np.linalg.norm(big))[None, :], 1)
+        assert i3[0, 0] == 3
+        _, inew = idx.search(nv[None, :], 1)
+        assert inew[0, 0] == n
+        # delete through the scatter path
+        idx.remove([3])
+        _, gone = idx.search((big / np.linalg.norm(big))[None, :], 1)
+        assert gone[0, 0] != 3
