@@ -520,8 +520,13 @@ class FlatIndex(Index):
             if self._cap > (1 << 21):
                 # Deep-scale: chunked scan keeps the intermediate at
                 # [B, chunk] (a one-shot [B, cap] matrix would be tens
-                # of GB at 10M-100M rows — BASELINE configs 4-5).
-                d, i = topk_ops.quantized_chunked_search(
+                # of GB at 10M-100M rows — BASELINE configs 4-5).  The
+                # rerank is folded INTO the chunk scan: a whole-arena
+                # rerank gather forces XLA to materialize a full-arena
+                # relayout copy (12 GB at 100M x 96, the compile-OOM of
+                # r4_cap100m.log) because the scan matmul and the gather
+                # want different arena layouts.
+                d, i = topk_ops.quantized_chunked_exact(
                     q_dev,
                     self._dx,
                     self._dscales,
@@ -659,7 +664,7 @@ class FlatIndex(Index):
             # applied) ranks garbage (measured recall 0.26 vs 1.0)
             over = 16 if self.storage_dtype == "int8x2" else 8
             if self._cap > (1 << 21):
-                _, i = topk_ops.quantized_chunked_search(
+                _, i = topk_ops.quantized_chunked_exact(
                     q_dev, self._dx, self._dscales, self._dvalid,
                     self._dx_sq, self._dx_lo,
                     metric=self.metric, k=kk, oversample=over,

@@ -12,4 +12,7 @@ from embeddinghub_tpu.ops.topk import (  # noqa: F401
     chunked_topk_search,
     certified_topk_search,
     quantized_chunked_search,
+    quantized_chunked_exact,
+    quantized_chunked_ids,
+    quantized_pool_rerank,
 )

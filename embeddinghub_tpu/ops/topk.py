@@ -532,6 +532,306 @@ def quantized_chunked_search(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "oversample", "chunk"),
+)
+def quantized_chunked_ids(
+    q: jax.Array,
+    xq: jax.Array,
+    scales: jax.Array | None,
+    valid: jax.Array,
+    x_sq: jax.Array,
+    *,
+    metric: str = "l2",
+    k: int = 10,
+    oversample: int = 8,
+    chunk: int = 1 << 20,
+) -> jax.Array:
+    """Phase-1 of the deep quantized search WITHOUT the on-device
+    rerank gather: returns the pooled ``[B, k*oversample]`` candidate
+    ids only (approx-ordered by quantized score).  The caller reranks
+    them exactly on the HOST against the f32 arena it already holds —
+    ids are ~160 x B x 4 bytes over the wire (+4 ms at B=256 on the
+    35 MB/s tunnel) and the host einsum is microseconds.
+
+    Why this exists: with both the scan matmul and a rerank gather
+    consuming ``xq``, XLA cannot give the arena one layout — the MXU
+    wants it transposed ({0,1}, rows in lanes), the gather wants it
+    row-major ({1,0}) — so the compiled program materializes
+    FULL-ARENA relayout copies (measured: a 12.0 GB `copy(xq)` HLO
+    temp that OOMs the 100M x 96 int8 query compile at 21.7 GB;
+    benchmarks/artifacts/r4_cap100m.log).  With the gather gone the
+    arena has exactly one consumer and one layout, and the peak temp
+    is chunk-sized.  Containment/quality are unchanged: the id pool
+    is identical to quantized_chunked_search's, and the host rerank
+    is exact f32 (strictly better than the device's dequantized
+    hi+lo rerank)."""
+    cap, d = xq.shape
+    if cap % chunk != 0:
+        raise ValueError(f"capacity {cap} not a multiple of chunk {chunk}")
+    n_chunks = cap // chunk
+    int8 = xq.dtype == jnp.int8
+
+    q = q.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    b = q.shape[0]
+    kk = min(k * oversample, chunk)
+
+    if int8:
+        qscale = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+        qq = jnp.clip(
+            jnp.round(q / jnp.maximum(qscale, 1e-30)), -127, 127
+        ).astype(jnp.int8)
+    else:
+        qq = q.astype(jnp.bfloat16)
+        qscale = None
+
+    kc = min(kk, max(k, (1 << 17) // n_chunks))
+
+    def step(_, base):
+        xc = jax.lax.dynamic_slice_in_dim(xq, base, chunk)
+        sqc = jax.lax.dynamic_slice_in_dim(x_sq, base, chunk)
+        vc = jax.lax.dynamic_slice_in_dim(valid, base, chunk)
+        dots = jax.lax.dot_general(
+            qq, xc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8 else jnp.float32,
+        )
+        if int8:
+            scc = jax.lax.dynamic_slice_in_dim(scales, base, chunk)
+            dots = dots.astype(jnp.float32) * qscale * scc[None, :]
+        if metric == "l2":
+            score = 2.0 * dots - sqc[None, :]
+        else:
+            score = dots
+        score = jnp.where(vc[None, :], score, -INF)
+        cv, ci = jax.lax.approx_max_k(score, kc)
+        return None, (cv, ci + base)
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    _, (cvs, cis) = jax.lax.scan(step, None, bases)
+    sv = jnp.moveaxis(cvs, 0, 1).reshape(b, n_chunks * kc)
+    si = jnp.moveaxis(cis, 0, 1).reshape(b, n_chunks * kc)
+    if n_chunks * kc > kk:
+        cv, pos = jax.lax.approx_max_k(sv, kk)
+        cand = jnp.take_along_axis(si, pos, axis=1)
+    else:
+        cv, cand = sv, si
+    return jnp.where(jnp.isfinite(cv), cand, -1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "oversample", "chunk"),
+)
+def quantized_chunked_exact(
+    q: jax.Array,
+    xq: jax.Array,
+    scales: jax.Array | None,
+    valid: jax.Array,
+    x_sq: jax.Array,
+    x_lo: jax.Array | None = None,
+    *,
+    metric: str = "l2",
+    k: int = 10,
+    oversample: int = 8,
+    chunk: int = 1 << 20,
+) -> tuple[jax.Array, jax.Array]:
+    """Deep-scale quantized search with the rerank folded INTO the
+    chunk scan — the >16M-row replacement for
+    ``quantized_chunked_search``, whose whole-arena rerank gather
+    forces XLA to materialize a FULL-ARENA relayout copy (the scan
+    matmul wants the arena transposed, the gather wants it row-major;
+    one program needing both = a 12 GB ``copy(xq)`` HLO temp that
+    OOMs the 100M x 96 query compile at 21.7 GB, r4_cap100m.log — and
+    splitting the rerank into its own executable just moves the same
+    copy there, compile-measured 2.1 GB at 16M).
+
+    Here each scan step gathers its kc candidates from the CHUNK SLICE
+    (a fresh [chunk, d] temp whose layout XLA picks freely), dequants
+    (hi + lo residual) and scores them exactly in f32; per-chunk exact
+    scores stack via scan outputs and ONE final selection picks the
+    global top-k.  Peak temps are chunk-sized regardless of capacity
+    (compile-measured: flat in cap).  Quality is the same-or-better
+    than the monolithic path: every chunk's kc candidates are reranked
+    (an n_chunks*kc-wide exact pool vs kk-wide)."""
+    cap, d = xq.shape
+    if cap % chunk != 0:
+        raise ValueError(f"capacity {cap} not a multiple of chunk {chunk}")
+    n_chunks = cap // chunk
+    int8 = xq.dtype == jnp.int8
+
+    qf = q.astype(jnp.float32)
+    if metric == "cosine":
+        qf = qf / jnp.maximum(
+            jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-30
+        )
+    b = qf.shape[0]
+    kk = min(k * oversample, chunk)
+
+    if int8:
+        qscale = jnp.max(jnp.abs(qf), axis=1, keepdims=True) / 127.0
+        qq = jnp.clip(
+            jnp.round(qf / jnp.maximum(qscale, 1e-30)), -127, 127
+        ).astype(jnp.int8)
+    else:
+        qq = qf.astype(jnp.bfloat16)
+        qscale = None
+
+    kc = min(kk, max(k, (1 << 17) // n_chunks))
+
+    def step(_, base):
+        xc = jax.lax.dynamic_slice_in_dim(xq, base, chunk)
+        sqc = jax.lax.dynamic_slice_in_dim(x_sq, base, chunk)
+        vc = jax.lax.dynamic_slice_in_dim(valid, base, chunk)
+        dots = jax.lax.dot_general(
+            qq, xc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32 if int8 else jnp.float32,
+        )
+        if int8:
+            scc = jax.lax.dynamic_slice_in_dim(scales, base, chunk)
+            dots = dots.astype(jnp.float32) * qscale * scc[None, :]
+        if metric == "l2":
+            score = 2.0 * dots - sqc[None, :]
+        else:
+            score = dots
+        score = jnp.where(vc[None, :], score, -INF)
+        cv, ci = jax.lax.approx_max_k(score, kc)   # ci: chunk-local
+        # exact f32 rerank of this chunk's candidates, gathered from
+        # the chunk slice (chunk-sized relayout at worst)
+        cx = xc[ci].astype(jnp.float32)
+        if x_lo is not None:
+            loc = jax.lax.dynamic_slice_in_dim(x_lo, base, chunk)
+            cx = cx + loc[ci].astype(jnp.float32) * (1.0 / 254.0)
+        if int8:
+            cx = cx * scc[ci][:, :, None]
+        edots = jnp.einsum(
+            "bkd,bd->bk", cx, qf, preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            escore = 2.0 * edots - sqc[ci]
+        else:
+            escore = edots
+        escore = jnp.where(jnp.isfinite(cv), escore, -INF)
+        return None, (escore, ci + base)
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    _, (evs, eis) = jax.lax.scan(step, None, bases)
+    sv = jnp.moveaxis(evs, 0, 1).reshape(b, n_chunks * kc)
+    si = jnp.moveaxis(eis, 0, 1).reshape(b, n_chunks * kc)
+    # scores are already exact — one approx pre-select bounds the final
+    # exact sort, top-k of exact scores is preserved for kk >> k
+    if n_chunks * kc > kk:
+        sv, pos = jax.lax.approx_max_k(sv, kk)
+        si = jnp.take_along_axis(si, pos, axis=1)
+    nv, pos = jax.lax.top_k(sv, k)
+    idx = jnp.take_along_axis(si, pos, axis=1)
+    if metric == "l2":
+        dist = jnp.maximum(D.sqnorms(qf)[:, None] - nv, 0.0)
+    else:
+        dist = 1.0 - nv
+    dist = jnp.where(jnp.isfinite(nv), dist, INF)
+    idx = jnp.where(jnp.isfinite(nv), idx, -1)
+    return dist, idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def quantized_pool_rerank(
+    q: jax.Array,
+    xq: jax.Array,
+    scales: jax.Array | None,
+    x_sq: jax.Array,
+    x_lo: jax.Array | None,
+    cand: jax.Array,   # [B, kk] pooled ids from quantized_chunked_ids
+    *,
+    metric: str = "l2",
+    k: int = 10,
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side exact rerank of a pooled candidate set, compiled as
+    its OWN program: the gather here wants the arena row-major ({1,0})
+    while the scan matmul in quantized_chunked_ids wants it transposed
+    — putting them in one program forces XLA to materialize a
+    full-arena relayout copy (12 GB at 100M x 96; r4_cap100m.log).
+    Split into two executables, each parameter keeps the layout its
+    sole consumer prefers and the copy never exists (compile-measured:
+    temp 2.15 GB -> ~0 at 16M rows).  Scoring matches
+    quantized_chunked_search's rerank tail exactly (hi + lo residual
+    dequant, f32 einsum)."""
+    q = q.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
+    safe = jnp.maximum(cand, 0)
+    int8 = xq.dtype == jnp.int8
+    cx = xq[safe].astype(jnp.float32)
+    if x_lo is not None:
+        cx = cx + x_lo[safe].astype(jnp.float32) * (1.0 / 254.0)
+    if int8 and scales is not None:
+        cx = cx * scales[safe][:, :, None]
+    edots = jnp.einsum("bkd,bd->bk", cx, q, preferred_element_type=jnp.float32)
+    if metric == "l2":
+        escore = 2.0 * edots - x_sq[safe]
+    else:
+        escore = edots
+    escore = jnp.where(cand >= 0, escore, -INF)
+    nv, pos = jax.lax.top_k(escore, k)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    if metric == "l2":
+        dist = jnp.maximum(D.sqnorms(q)[:, None] - nv, 0.0)
+    else:
+        dist = 1.0 - nv
+    dist = jnp.where(jnp.isfinite(nv), dist, INF)
+    idx = jnp.where(jnp.isfinite(nv), idx, -1)
+    return dist, idx.astype(jnp.int32)
+
+
+def host_rerank(
+    hx: "np.ndarray",
+    hvalid: "np.ndarray",
+    q: "np.ndarray",
+    cand: "np.ndarray",
+    k: int,
+    metric: str,
+):
+    """Exact f32 rerank of device-pooled candidate ids on the host
+    arena (the second half of the deep-split search).  Returns
+    (dist [B,k] f32, idx [B,k] int32), -1/inf padded like the device
+    paths."""
+    import numpy as np
+
+    b, kk = cand.shape
+    qn = np.asarray(q, np.float32)
+    if metric == "cosine":
+        qn = qn / np.maximum(
+            np.linalg.norm(qn, axis=1, keepdims=True), 1e-30
+        )
+    safe = np.maximum(cand, 0)
+    cx = hx[safe.ravel()].reshape(b, kk, -1).astype(np.float32)
+    if metric == "cosine":
+        cx = cx / np.maximum(
+            np.linalg.norm(cx, axis=2, keepdims=True), 1e-30
+        )
+    dots = np.einsum("bkd,bd->bk", cx, qn)
+    if metric == "l2":
+        score = 2.0 * dots - np.einsum("bkd,bkd->bk", cx, cx)
+    else:
+        score = dots
+    score = np.where((cand >= 0) & hvalid[safe], score, -np.inf)
+    pos = np.argsort(-score, axis=1)[:, :k]
+    svals = np.take_along_axis(score, pos, axis=1)
+    idx = np.take_along_axis(cand, pos, axis=1)
+    if metric == "l2":
+        qsq = np.einsum("bd,bd->b", qn, qn)
+        dist = np.maximum(qsq[:, None] - svals, 0.0)
+    else:
+        dist = 1.0 - svals
+    dist = np.where(np.isfinite(svals), dist, np.inf).astype(np.float32)
+    idx = np.where(np.isfinite(svals), idx, -1).astype(np.int32)
+    return dist, idx
+
+
+@functools.partial(
     jax.jit, static_argnames=("metric", "k", "chunk", "margin")
 )
 def pooled_topk_ids(

@@ -307,7 +307,7 @@ class ShardedFlatIndex(Index):
         if int8 and residual:
             def local_search(q, xq, scales, valid, x_sq, x_lo):
                 if deep:
-                    d, i = topk_ops.quantized_chunked_search(
+                    d, i = topk_ops.quantized_chunked_exact(
                         q, xq, scales, valid, x_sq, x_lo,
                         metric=metric, k=k, oversample=over, chunk=qchunk,
                     )
@@ -325,7 +325,7 @@ class ShardedFlatIndex(Index):
         elif int8:
             def local_search(q, xq, scales, valid, x_sq):
                 if deep:
-                    d, i = topk_ops.quantized_chunked_search(
+                    d, i = topk_ops.quantized_chunked_exact(
                         q, xq, scales, valid, x_sq, None,
                         metric=metric, k=k, oversample=over, chunk=qchunk,
                     )

@@ -100,6 +100,30 @@ class Version:
         self.immutable = True
         if self._wal is not None:
             self._wal.append_freeze()
+        # Freeze marks the load->serve transition — the one moment a
+        # measured quantization audit is both cheap enough (one oracle
+        # scan, amortized against the bulk load it follows) and early
+        # enough (before any query is served from a degraded arena).
+        # Opt-in: EMBEDDINGHUB_QUANT_AUDIT=freeze.
+        from embeddinghub_tpu.utils.config import get_config
+
+        if get_config().quant_audit == "freeze":
+            self.audit_quantization(bar=get_config().quant_audit_bar)
+
+    def audit_quantization(self, bar: float = 0.95, nq: int = 64) -> dict:
+        """Measured post-ingest quantization audit: device recall vs an
+        exact host oracle, escalating the arena dtype until ``bar``
+        clears or escalation is impossible (index/flat.audit_and_escalate
+        — the at-scale answer to the pool-containment regime the
+        pre-upload sample guard cannot see).  Returns the audit report;
+        a no-op ``{"audited": []}``-shaped report for engines without a
+        quantized arena (graph/sharded indexes)."""
+        with self.lock:
+            fn = getattr(self.index, "audit_and_escalate", None)
+            if fn is None or getattr(self.index, "storage_dtype", "float32") \
+                    not in ("int8", "int8x2", "bfloat16"):
+                return {"audited": [], "escalated": [], "fit_blocked": None}
+            return fn(bar=bar, nq=nq)
 
     # ------------------------------------------------------------------- read
 

@@ -57,6 +57,13 @@ class Config:
     hnsw_route_min: int = 1 << 20
     initial_capacity: int = 128         # reference index.h:21, doubles on growth
 
+    # Measured post-ingest quantization audit (FlatIndex.audit_and_
+    # escalate): "freeze" runs it when a version is made immutable —
+    # the load->serve transition — escalating the arena dtype until
+    # device recall (vs an exact host oracle) clears quant_audit_bar.
+    quant_audit: str = "off"            # "off" | "freeze"
+    quant_audit_bar: float = 0.95
+
     # Sharding
     mesh_axis: str = "shard"
 
@@ -77,6 +84,10 @@ class Config:
             hnsw_seed_probes=_env_int("EMBEDDINGHUB_HNSW_SEED_PROBES", 0),
             hnsw_route_min=_env_int("EMBEDDINGHUB_HNSW_ROUTE_MIN", 1 << 20),
             initial_capacity=_env_int("EMBEDDINGHUB_INIT_CAP", 128),
+            quant_audit=_env("EMBEDDINGHUB_QUANT_AUDIT", "off"),
+            quant_audit_bar=float(
+                _env("EMBEDDINGHUB_QUANT_AUDIT_BAR", "0.95")
+            ),
         )
 
 

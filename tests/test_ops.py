@@ -316,6 +316,83 @@ def test_quantized_chunked_recall(rng, metric, dtype):
     )
 
 
+@pytest.mark.parametrize("metric", ["l2", "cosine"])
+@pytest.mark.parametrize("dtype", ["int8", "int8x2", "bfloat16"])
+def test_quantized_chunked_exact_and_split(rng, metric, dtype):
+    """The fold-rerank-into-the-scan deep path (quantized_chunked_exact,
+    the >16M replacement whose peak temps stay chunk-sized) and the
+    id-only/device-rerank split pair must match the monolithic
+    quantized_chunked_search's quality: same-or-better recall vs the
+    exact oracle (the per-chunk exact pool is wider than the pooled kk),
+    and the split's host rerank is exact f32."""
+    import ml_dtypes
+
+    from embeddinghub_tpu.ops import (
+        quantized_chunked_exact,
+        quantized_chunked_ids,
+        quantized_pool_rerank,
+    )
+    from embeddinghub_tpu.ops.topk import host_rerank
+
+    n, d, b, k = 4096, 32, 8, 10
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = (x[rng.integers(0, n, b)]
+         + 0.05 * rng.standard_normal((b, d))).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-64:] = False
+    xp = np.asarray(preprocess_vectors(jnp.asarray(x), metric))
+    x_sq = (xp * xp).sum(1).astype(np.float32)
+    lo = None
+    if dtype in ("int8", "int8x2"):
+        scales = np.maximum(np.abs(xp).max(1) / 127.0, 1e-30).astype(np.float32)
+        hi = np.clip(np.round(xp / scales[:, None]), -127, 127).astype(np.int8)
+        if dtype == "int8x2":
+            resid = xp / scales[:, None] - hi
+            lo = jnp.asarray(
+                np.clip(np.round(resid * 254.0), -127, 127).astype(np.int8)
+            )
+        xq = hi
+        sc = jnp.asarray(scales)
+    else:
+        xq = xp.astype(ml_dtypes.bfloat16)
+        sc = None
+    args = (jnp.asarray(q), jnp.asarray(xq), sc, jnp.asarray(valid),
+            jnp.asarray(x_sq))
+    kw = dict(metric=metric, k=k, oversample=8, chunk=1024)
+
+    if metric == "l2":
+        ref = np_l2(q, x)
+    else:
+        qa = q / np.linalg.norm(q, axis=1, keepdims=True)
+        ref = 1.0 - qa @ xp.T
+    ref[:, ~valid] = np.inf
+    oracle = np.argsort(ref, axis=1)[:, :k]
+
+    def recall(ids):
+        return np.mean([
+            len(set(ids[i].tolist()) & set(oracle[i].tolist())) / k
+            for i in range(b)
+        ])
+
+    dist_e, idx_e = quantized_chunked_exact(*args, lo, **kw)
+    idx_e = np.asarray(idx_e)
+    assert recall(idx_e) >= 0.9, recall(idx_e)
+    assert not np.isin(idx_e, np.arange(n - 64, n)).any()  # invalid rows
+
+    # split pair: device id pool -> device rerank AND host rerank
+    cand = quantized_chunked_ids(*args, **kw)
+    _, idx_dev = quantized_pool_rerank(
+        jnp.asarray(q), jnp.asarray(xq), sc, jnp.asarray(x_sq), lo,
+        cand, metric=metric, k=k)
+    idx_dev = np.asarray(idx_dev)
+    assert recall(idx_dev) >= 0.9, recall(idx_dev)
+    _, idx_host = host_rerank(xp, valid, q, np.asarray(cand), k, metric)
+    assert recall(idx_host) >= 0.9, recall(idx_host)
+    # the host rerank scores the pool in exact f32: on the same pool it
+    # can only improve on the device's dequantized ordering
+    assert recall(idx_host) >= recall(idx_dev) - 1e-9
+
+
 def test_heuristic_prune_matches_scan_greedy(rng):
     """The slot-loop heuristic (argmin over undominated per kept slot)
     must accept EXACTLY the same set as hnswlib's candidate-scan greedy

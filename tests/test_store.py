@@ -208,3 +208,46 @@ def test_hnsw_ef_search_persisted(tmp_path):
     persistence.save_version(tmp_path, v)
     v2 = persistence.load_version(tmp_path)
     assert v2.index.ef_search == 77
+
+
+def test_version_quant_audit_and_freeze_hook(monkeypatch, rng=None):
+    """Version.audit_quantization escalates a containment-degraded
+    quantized arena; EMBEDDINGHUB_QUANT_AUDIT=freeze runs it at
+    make_immutable (the load->serve transition)."""
+    import numpy as np
+    from embeddinghub_tpu.index.flat import FlatIndex
+    from embeddinghub_tpu.store.version import Version
+    from embeddinghub_tpu.utils import config as cfg
+
+    rng = np.random.default_rng(9)
+    n, d = 4096, 32
+    u = rng.standard_normal(d).astype(np.float32)
+    u /= np.linalg.norm(u)
+    x = u[None, :] + 5e-2 * rng.standard_normal((n, d)).astype(np.float32)
+    x[:, -1] = 50.0 * rng.choice([-1.0, 1.0], n)  # per-row scale inflation
+
+    idx = FlatIndex(dims=d, metric="l2", storage_dtype="int8x2",
+                    capacity=n, quant_guard=False)
+    v = Version("s", "initial", d, metric="l2", index=idx)
+    v.multiset((f"k{i}", x[i]) for i in range(n))
+
+    # explicit audit escalates
+    report = v.audit_quantization(bar=0.95, nq=24)
+    assert report["escalated"], report
+
+    # freeze hook: opt-in via env, auto-audits a fresh degraded version
+    idx2 = FlatIndex(dims=d, metric="l2", storage_dtype="int8x2",
+                     capacity=n, quant_guard=False)
+    v2 = Version("s", "v2", d, metric="l2", index=idx2)
+    v2.multiset((f"k{i}", x[i]) for i in range(n))
+    monkeypatch.setattr(cfg, "_config", None)
+    monkeypatch.setenv("EMBEDDINGHUB_QUANT_AUDIT", "freeze")
+    v2.make_immutable()
+    assert idx2.storage_dtype != "int8x2"
+    monkeypatch.setattr(cfg, "_config", None)
+
+    # engines without a quantized arena: clean no-op report
+    v3 = Version("s", "v3", d, metric="l2")
+    v3.multiset([("a", x[0])])
+    rep3 = v3.audit_quantization()
+    assert rep3 == {"audited": [], "escalated": [], "fit_blocked": None}
