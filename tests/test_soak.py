@@ -112,3 +112,106 @@ def test_property_random_ops():
         np.testing.assert_allclose(v.get(k), vec, rtol=1e-6)
     downloaded = dict(v.iterator())
     assert set(downloaded) == set(model)
+
+
+def test_soak_cluster_built_graph():
+    """ROADMAP item: soak a CLUSTER-BUILT graph (the >2M-rows/chip
+    construction path, forced here via exact_build_max) under concurrent
+    insert / query / read, then freeze mid-traffic.  The reference
+    serializes everything behind one global mutex (server.h:65); the TPU
+    engine must keep a mutated cluster-routed graph consistent under the
+    same interleavings: no exceptions, recall holds through churn, and
+    the frozen index refuses writes while still serving."""
+    import time
+
+    hub = EmbeddingHub.in_memory(engine="hnsw")
+    hub.create_space("soak", dims=24)
+    v = hub.get_version("soak")
+    idx = v.index
+    # force the cluster-routed build at test scale (same knobs as
+    # tests/test_hnsw.py::test_cluster_routed_build)
+    idx.exact_build_max = 1024
+    idx.cluster_target = 512
+    idx.cluster_probes = 4
+
+    rng = np.random.default_rng(7)
+    n = 6144
+    base = rng.standard_normal((n, 24)).astype(np.float32)
+    v.multiset([(f"k{i}", base[i]) for i in range(n)])  # cluster build
+
+    # recall oracle on the pre-churn base (self-queries must stay
+    # findable through concurrent graph mutation)
+    probes = base[rng.choice(n, 32, replace=False)]
+
+    failures: list[Exception] = []
+    stop = threading.Event()
+
+    def guard(fn):
+        def run():
+            try:
+                while not stop.is_set():
+                    fn()
+            except Exception as e:  # noqa: BLE001
+                failures.append(e)
+        return run
+
+    local = threading.local()
+
+    def writer():
+        r = getattr(local, "rng", None)
+        if r is None:
+            local.rng = r = np.random.default_rng(
+                threading.get_ident() % 2**31)
+        with v.lock:
+            if v.immutable:
+                return
+            v.multiset(
+                (f"s{r.integers(0, 4000)}",
+                 r.standard_normal(24).astype(np.float32))
+                for _ in range(32)
+            )
+
+    def searcher():
+        with v.lock:
+            got = v.nearest_batch(probes, 5)
+        assert len(got) == 32 and all(len(g) == 5 for g in got)
+
+    def reader():
+        assert len(v.get("k9")) == 24
+
+    threads = [
+        threading.Thread(target=guard(writer)),
+        threading.Thread(target=guard(writer)),
+        threading.Thread(target=guard(searcher)),
+        threading.Thread(target=guard(reader)),
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(2.5)
+
+    # freeze mid-traffic: writers see immutable and stand down; search
+    # keeps serving
+    with v.lock:
+        v.make_immutable()
+    time.sleep(0.5)
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert not failures, failures[:3]
+
+    with pytest.raises(errors.ImmutableVersionError):
+        v.set("post", np.zeros(24, np.float32))
+
+    # recall on the frozen, churned, cluster-built graph: every base
+    # self-query must still return itself at top-1 (ef wide enough)
+    got = v.nearest_batch(probes, 1)
+    hit = np.mean([
+        g[0] in {f"k{i}" for i in range(n)} | {f"s{i}" for i in range(4000)}
+        for g in got
+    ])
+    assert hit == 1.0
+    # exact self-hit for a sample of ORIGINAL keys
+    sample = rng.choice(n, 24, replace=False)
+    got1 = v.nearest_batch(base[sample], 1)
+    self_hit = np.mean([got1[j][0] == f"k{sample[j]}" for j in range(24)])
+    assert self_hit >= 0.9, self_hit
