@@ -197,6 +197,9 @@ class HNSWIndex(Index):
         # _sync_host downloads it (snapshot / remove / update paths).
         self._host_stale = False
         self._wave_fn = None
+        # exact host mirror of the device member-arena counts (see
+        # _build_members_host / _insert_wave_fused regrowth check)
+        self._mcount_host = np.zeros(0, np.int64)
         self._gs_fns: dict[tuple, object] = {}
         # centroid-routed multi-entry search (build_route): 0 = classic
         # single-entry descent search
@@ -1232,11 +1235,41 @@ class HNSWIndex(Index):
         # matching hnswlib: a level-raising node becomes entry with no
         # links at its new layers until a peer arrives)
         ustack = state["ustack"]
+        members, mcount = state["members"], state["mcount"]
         if new_max > ustack.shape[0]:
             pad = jnp.full(
                 (new_max - ustack.shape[0], self._cap, self.m), -1, jnp.int32
             )
             ustack = jnp.concatenate([ustack, pad], axis=0)
+            grow = new_max - members.shape[0]
+            members = jnp.concatenate([
+                members,
+                jnp.full((grow, members.shape[1]), -1, jnp.int32),
+            ])
+            mcount = jnp.concatenate(
+                [mcount, jnp.zeros((grow,), jnp.int32)]
+            )
+            self._mcount_host = np.concatenate(
+                [self._mcount_host, np.zeros((grow,), np.int64)]
+            )
+        # regrow the member slabs if this wave's appends could overflow
+        # (exact check: the host mirror tracks the device counts 1:1)
+        L_now = int(members.shape[0])
+        if L_now:
+            adds = np.array([
+                int((levels >= layer).sum())
+                for layer in range(1, L_now + 1)
+            ], np.int64)
+            S_now = int(members.shape[1])
+            if (self._mcount_host[:L_now] + adds > S_now).any():
+                new_S = S_now
+                need = int((self._mcount_host[:L_now] + adds).max())
+                while new_S < need:
+                    new_S *= 2
+                members = jnp.concatenate([
+                    members,
+                    jnp.full((L_now, new_S - S_now), -1, jnp.int32),
+                ], axis=1)
 
         w = len(rows)
         bw = next_pow2(w, floor=256 if w > 64 else 8)
@@ -1262,9 +1295,10 @@ class HNSWIndex(Index):
         (
             state["x"], state["x_sq"], state["valid"],
             state["levels"], state["nb0"], new_ustack,
+            state["members"], state["mcount"],
         ) = self._wave_fn(
             state["x"], state["x_sq"], state["valid"], state["levels"],
-            state["nb0"], ustack,
+            state["nb0"], ustack, members, mcount,
             jnp.asarray(rows_p, jnp.int32),
             jnp.asarray(vecs_p),
             jnp.asarray(np.einsum("wd,wd->w", vecs_p, vecs_p)),
@@ -1273,6 +1307,9 @@ class HNSWIndex(Index):
             jnp.asarray(wvalid),
         )
         state["ustack"] = new_ustack
+        # mirror the device-side member appends exactly (same masks)
+        for layer in range(1, int(new_ustack.shape[0]) + 1):
+            self._mcount_host[layer - 1] += int((levels >= layer).sum())
         self._host_stale = True
 
         # host bookkeeping: levels / entry / max_level stay host-accurate
@@ -1596,6 +1633,16 @@ class HNSWIndex(Index):
             state["ustack"] = state["ustack"].at[
                 layer - 1, jnp.asarray(rows)
             ].set(jnp.asarray(self._upper_rows(layer, rows)))
+        if self._dirty_upper:
+            # host-path surgery may have added/removed upper-layer
+            # nodes; refresh the compacted member arenas from the host
+            # level table (removals alone would self-filter, but new
+            # members MUST be present for future wave pools to see them)
+            members, mcount = self._build_members_host(
+                int(state["ustack"].shape[0])
+            )
+            state["members"] = jnp.asarray(members)
+            state["mcount"] = jnp.asarray(mcount)
         self._clear_dirty()
 
     def _device_arrays(self):
@@ -1614,6 +1661,7 @@ class HNSWIndex(Index):
         for layer in range(1, L + 1):
             for node, lst in self._upper.get(layer, {}).items():
                 ustack[layer - 1, node, : len(lst)] = lst[: self.m]
+        members, mcount = self._build_members_host(L)
         state = {
             "x": jnp.asarray(x),
             "x_sq": jnp.asarray(np.einsum("nd,nd->n", x, x)),
@@ -1621,10 +1669,42 @@ class HNSWIndex(Index):
             "levels": jnp.asarray(self._levels),
             "nb0": jnp.asarray(self._nb0),
             "ustack": jnp.asarray(ustack),
+            "members": jnp.asarray(members),
+            "mcount": jnp.asarray(mcount),
         }
         self._device_state = state
         self._clear_dirty()
         return state
+
+    def _member_slab_width(self) -> int:
+        """Static width S of the per-upper-layer compacted member-id
+        arenas: ~2x the expected layer-1 population (cap/M with the
+        hnswlib level distribution, P(level>=l) = M^-l) so device-side
+        appends essentially never overflow; the exact host mirror
+        regrows it when a pathological level draw does."""
+        return int(next_pow2(max(4096, self._cap // 8)))
+
+    def _build_members_host(self, L: int):
+        """[L, S] member-id arenas + counts from the (always-accurate)
+        host level table — used at device-state build and on host-
+        surgery flushes; the fused wave path appends device-side.  S
+        grows past the default width if the real layer-1 population
+        demands it (restored indexes with unusual level draws)."""
+        S = self._member_slab_width()
+        ids_by_layer = [
+            np.flatnonzero(self._levels >= layer) for layer in range(1, L + 1)
+        ]
+        need = max((ids.size for ids in ids_by_layer), default=0)
+        while S < need:
+            S *= 2
+        members = np.full((L, S), -1, np.int32)
+        mcount = np.zeros((L,), np.int32)
+        for layer in range(1, L + 1):
+            ids = ids_by_layer[layer - 1]
+            members[layer - 1, : ids.size] = ids
+            mcount[layer - 1] = ids.size
+        self._mcount_host = mcount.astype(np.int64).copy()
+        return members, mcount
 
     def build_route(self, seed_probes: int = 8, k: int | None = None):
         """Enable centroid-routed multi-entry search: fit (or reuse the

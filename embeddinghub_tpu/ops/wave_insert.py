@@ -173,6 +173,39 @@ def _masked_scan_topk(q, x, mask, x_sq, *, kk, metric, chunk):
     return jnp.where(jnp.isfinite(cv), ci, -1)
 
 
+def _member_scan_topk(q, x, x_sq, valid, levels, layer, members, count,
+                      *, kk, metric):
+    """Upper-layer candidate pool from a COMPACTED member-id arena
+    (``members``: [S] row ids with ``count`` filled, -1 padded): gather
+    the ~cap/M^layer member rows and score a [W, S] matmul.  Replaces a
+    full-arena masked scan whose cost scaled with CAPACITY rather than
+    with layer population — at 4M rows the L upper scans were ~3/4 of
+    the per-wave cap-dependent cost for <7% of the scanned rows
+    (ROADMAP r4: "1 full + L small scans per wave").
+
+    Staleness is self-filtering: entries whose row died (valid=false)
+    or whose level dropped below ``layer`` are masked out against the
+    LIVE arena state at scan time, so removals/updates need no member
+    compaction.  Duplicate entries (a re-added member) merely waste
+    pool slots."""
+    S = members.shape[0]
+    kk = min(kk, S)
+    safe = jnp.maximum(members, 0)
+    alive = (members >= 0) & (jnp.arange(S, dtype=jnp.int32) < count)
+    alive &= valid[safe] & (levels[safe] >= layer)
+    mx = x[safe].astype(jnp.bfloat16)
+    dots = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), mx,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = 2.0 * dots - x_sq[safe][None, :] if metric == "l2" else dots
+    s = jnp.where(alive[None, :], s, -INF)
+    cv, ci = jax.lax.approx_max_k(s, kk)
+    ids = members[ci]
+    return jnp.where(jnp.isfinite(cv), ids, -1)
+
+
 def make_wave_commit(
     *,
     metric: str,
@@ -184,37 +217,60 @@ def make_wave_commit(
     """Build the jitted single-dispatch wave commit for a given config.
 
     Returned fn signature:
-        (x, x_sq, valid, levels, nb0, upper, rows, vecs, vecs_sq,
-         wave_levels, link_top, wave_valid) ->
-        (x, x_sq, valid, levels, nb0, upper)
+        (x, x_sq, valid, levels, nb0, upper, members, mcount,
+         rows, vecs, vecs_sq, wave_levels, link_top, wave_valid) ->
+        (x, x_sq, valid, levels, nb0, upper, members, mcount)
     with ``upper`` a stacked [L, cap, m] table (L may be 0),
     ``levels`` the [cap] per-row level arena (-1 = dead),
+    ``members``/``mcount`` the per-upper-layer compacted member-id
+    arenas ([L, S] int32 / [L] int32 — see ``_member_scan_topk``; the
+    commit itself appends this wave's upper-layer rows, so the arenas
+    never cross the wire after the initial build),
     ``wave_levels`` each row's true assigned level, and
     ``link_top[w] = min(level_w, pre-wave max_level)``.  Padding rows
     must duplicate row 0's values in every per-row input so duplicate
-    scatters stay deterministic.
+    scatters stay deterministic.  The caller must guarantee
+    ``mcount + wave appends <= S`` (hnsw._insert_wave_fused regrows S
+    from its exact host mirror before dispatch); overflowing appends
+    are dropped silently by the ``mode="drop"`` scatter.
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
     def wave_commit(
-        x, x_sq, valid, levels, nb0, upper, rows, vecs, vecs_sq,
-        wave_levels, link_top, wave_valid,
+        x, x_sq, valid, levels, nb0, upper, members, mcount,
+        rows, vecs, vecs_sq, wave_levels, link_top, wave_valid,
     ):
         w = rows.shape[0]
         L = upper.shape[0]
         ef0 = min(max(ef_construction, 16), 1024)
 
-        # ---- 1. per-layer candidate pools: masked flat scans against
-        # the PRE-WAVE arena (wave rows are not yet valid, so siblings
-        # are excluded exactly like hnswlib's sequential addPoint) ----
+        # ---- 1. per-layer candidate pools against the PRE-WAVE arena
+        # (wave rows are not yet valid, so siblings are excluded exactly
+        # like hnswlib's sequential addPoint).  Layer 0 is a full flat
+        # scan; layers >=1 scan their compacted member arenas ----
         pools = {0: _masked_scan_topk(
             vecs, x, valid, x_sq, kk=ef0, metric=metric, chunk=scan_chunk,
         )}
         for layer in range(1, L + 1):
-            pools[layer] = _masked_scan_topk(
-                vecs, x, valid & (levels >= layer), x_sq,
-                kk=min(ef0, m * 4), metric=metric, chunk=scan_chunk,
+            pools[layer] = _member_scan_topk(
+                vecs, x, x_sq, valid, levels, layer,
+                members[layer - 1], mcount[layer - 1],
+                kk=min(ef0, m * 4), metric=metric,
             )
+
+        # ---- 1b. append the wave's upper-layer rows to the member
+        # arenas (AFTER the pools: a wave never pools its own siblings).
+        # Position = count + prefix-sum; non-members route out of range
+        # and are dropped ----
+        S = members.shape[1] if L else 0
+        for layer in range(1, L + 1):
+            mk = wave_valid & (wave_levels >= layer)
+            pos = mcount[layer - 1] + jnp.cumsum(mk.astype(jnp.int32)) - 1
+            pos = jnp.where(mk, pos, S)
+            members = members.at[layer - 1, pos].set(
+                rows.astype(jnp.int32), mode="drop"
+            )
+            mcount = mcount.at[layer - 1].add(mk.sum(dtype=jnp.int32))
 
         # ---- 2. scatter wave vectors (padding rows repeat row 0 with
         # identical payloads, so duplicate scatters stay deterministic)
@@ -302,7 +358,7 @@ def make_wave_commit(
                 )
                 upper = upper.at[layer - 1].set(upd)
 
-        return x, x_sq, valid, levels, nb0, upper
+        return x, x_sq, valid, levels, nb0, upper, members, mcount
 
     return wave_commit
 

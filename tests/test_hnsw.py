@@ -491,3 +491,46 @@ def test_auto_route_trigger(rng):
     idx.add(np.arange(n, 2 * n + 0), x[n:])
     idx.search(x[:4], 3, ef=20)                 # doubled: refits
     assert idx._cluster_route["built_size"] == 2 * n
+
+
+def test_member_arena_invariants(rng):
+    """The fused wave's upper-layer pools read compacted member-id
+    arenas (ops/wave_insert._member_scan_topk) instead of full-arena
+    masked scans. Invariants: device mcount tracks the true layer
+    population through streamed waves, forced slab regrowth, and
+    host-surgery rebuilds; pools stay quality-equal to the flat scan."""
+    n, extra, d = 1500, 1024, 16
+    vecs = rng.standard_normal((n + extra, d)).astype(np.float32)
+    idx = HNSWIndex(dims=d, m=8, ef_construction=48, capacity=8192)
+    idx._member_slab_width = lambda: 8  # force device-side regrowth
+    idx.add(np.arange(n), vecs[:n])
+    for s in range(n, n + extra, 256):
+        idx.add(np.arange(s, s + 256), vecs[s : s + 256])
+
+    st = idx._device_state
+    mem, mc = np.asarray(st["members"]), np.asarray(st["mcount"])
+    assert mem.shape[1] > 8  # regrowth actually happened
+    for layer in range(1, mem.shape[0] + 1):
+        true_pop = int((idx._levels >= layer).sum())
+        # host mirror is exact; device count matches it
+        assert idx._mcount_host[layer - 1] == mc[layer - 1]
+        live = mem[layer - 1][: mc[layer - 1]]
+        assert mc[layer - 1] == true_pop
+        assert set(map(int, live[live >= 0])) == set(
+            map(int, np.flatnonzero(idx._levels >= layer))
+        )
+
+    # host surgery (remove an upper-layer member) then more waves:
+    # _flush_delta rebuilds the arenas from the host level table
+    upper_nodes = np.flatnonzero(idx._levels >= 1)
+    idx.remove(upper_nodes[:2])
+    idx.add(upper_nodes[:2], vecs[upper_nodes[:2]] + 0.01)
+    st = idx._device_arrays()
+    mem, mc = np.asarray(st["members"]), np.asarray(st["mcount"])
+    for layer in range(1, mem.shape[0] + 1):
+        assert mc[layer - 1] == int((idx._levels >= layer).sum())
+
+    # quality: streamed graph still finds its own rows
+    probe = np.arange(n, n + extra, 41)
+    _, got = idx.search(vecs[probe], 1, ef=64)
+    assert (got[:, 0] == probe).mean() >= 0.95
