@@ -158,6 +158,12 @@ def main():
                     help="after the sweep, stream this many fresh rows "
                          "through the fused wave path and re-measure "
                          "recall vs an updated ground truth")
+    ap.add_argument("--save-index", default=None,
+                    help="after the build, np.savez the graph's "
+                         "state_arrays here (reruns skip the build)")
+    ap.add_argument("--load-index", default=None,
+                    help="skip the build: restore a graph saved with "
+                         "--save-index (HNSWIndex.from_state)")
     ap.add_argument("--gt-file", default=None,
                     help="npz cache for train/test/gt")
     ap.add_argument("--data-file", default=None,
@@ -188,24 +194,37 @@ def main():
         if args.gt_file:
             np.savez(args.gt_file, train=train, test=test, gt=gt)
 
-    idx = HNSWIndex(args.dims, metric="l2", m=args.m,
-                    ef_construction=args.efc, capacity=args.n)
-    if args.force_cluster:
-        idx.exact_build_max = 1024
-    if args.exact:
-        idx.exact_build_max = args.n + 1
-    idx.cluster_target = args.target
-    idx.cluster_probes = args.probes
-    idx.cluster_refine_rounds = args.refine
-    idx.cluster_repair_frac = args.repair_frac
+    if args.load_index:
+        z = np.load(args.load_index)
+        idx = HNSWIndex.from_state(
+            args.dims, "l2", {k: z[k] for k in z.files}
+        )
+        build_s = 0.0
+        report(event="load", path=args.load_index, n=int(idx.size))
+    else:
+        idx = HNSWIndex(args.dims, metric="l2", m=args.m,
+                        ef_construction=args.efc, capacity=args.n)
+        if args.force_cluster:
+            idx.exact_build_max = 1024
+        if args.exact:
+            idx.exact_build_max = args.n + 1
+        idx.cluster_target = args.target
+        idx.cluster_probes = args.probes
+        idx.cluster_refine_rounds = args.refine
+        idx.cluster_repair_frac = args.repair_frac
 
-    t0 = time.time()
-    idx.add(np.arange(args.n), train)
-    build_s = time.time() - t0
-    report(event="build", n=args.n, target=args.target,
-           probes=args.probes, refine=args.refine,
-           repair_frac=args.repair_frac, build_s=round(build_s, 1),
-           stats=getattr(idx, "_cluster_stats", None))
+        t0 = time.time()
+        idx.add(np.arange(args.n), train)
+        build_s = time.time() - t0
+        report(event="build", n=args.n, target=args.target,
+               probes=args.probes, refine=args.refine,
+               repair_frac=args.repair_frac, build_s=round(build_s, 1),
+               stats=getattr(idx, "_cluster_stats", None))
+        if args.save_index:
+            t0 = time.time()
+            np.savez(args.save_index, **idx.state_arrays())
+            report(event="save", path=args.save_index,
+                   save_s=round(time.time() - t0, 1))
 
     base_engine = "hnsw-exact" if args.exact else "hnsw-cluster"
 
