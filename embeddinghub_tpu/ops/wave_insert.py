@@ -151,13 +151,19 @@ def _masked_scan_topk(q, x, mask, x_sq, *, kk, metric, chunk):
         # rows as link candidates
         return jnp.where(jnp.isfinite(cv), ci, -1)
 
-    x_c = x.reshape(n_chunks, chunk, d)
-    sq_c = x_sq.reshape(n_chunks, chunk)
-    m_c = mask.reshape(n_chunks, chunk)
-
-    def step(carry, inp):
+    # The arena stays a loop-INVARIANT free variable sliced with
+    # dynamic_slice inside the body.  Feeding a reshaped
+    # [n_chunks, chunk, d] view through the scan instead forces XLA to
+    # materialize a full-arena relayout copy whenever the same arena is
+    # also gathered/scattered elsewhere in the program (measured for the
+    # identical pattern in ops/topk.quantized_chunked_search: an 8 GB
+    # copy(xq) HLO temp at 50M x 96) — in wave_commit that is a
+    # ~2 GB/wave copy at 4M x 128 f32, pure waste.
+    def step(carry, base):
         bv, bi = carry
-        xc, sqc, mc, base = inp
+        xc = jax.lax.dynamic_slice_in_dim(x, base, chunk)
+        sqc = jax.lax.dynamic_slice_in_dim(x_sq, base, chunk)
+        mc = jax.lax.dynamic_slice_in_dim(mask, base, chunk)
         cv, ci = jax.lax.approx_max_k(score_chunk(xc, sqc, mc), kk)
         vcat = jnp.concatenate([bv, cv], axis=1)
         icat = jnp.concatenate([bi, ci + base], axis=1)
@@ -169,7 +175,7 @@ def _masked_scan_topk(q, x, mask, x_sq, *, kk, metric, chunk):
         jnp.full((w, kk), -1, jnp.int32),
     )
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (cv, ci), _ = jax.lax.scan(step, init, (x_c, sq_c, m_c, bases))
+    (cv, ci), _ = jax.lax.scan(step, init, bases)
     return jnp.where(jnp.isfinite(cv), ci, -1)
 
 
