@@ -272,3 +272,39 @@ def test_deep_capacity_non_pow2(rng):
     assert (got[:, 0] == rows[:16]).all()
     got_async = np.asarray(idx.search_async(q, 5))
     assert (got_async[:, 0] == rows[:16]).all()
+
+
+def test_packed_id_readback(rng, monkeypatch):
+    """ops/bitpack wire compression: forced-on (CPU mesh), the packed
+    ids-only readback must be bit-identical to the unpacked path for
+    both search(with_distances=False) and search_async, including -1
+    sentinels from an underfilled index."""
+    from embeddinghub_tpu.ops import bitpack
+
+    # unit roundtrip incl. the -1 sentinel and non-multiple-of-32 n
+    ids = rng.integers(-1, 99_999, 4099).astype(np.int32)
+    import jax.numpy as jnp
+
+    w = np.asarray(bitpack.pack_ids(jnp.asarray(ids), bits=bitpack.bits_for(99_999)))
+    assert w.size * 4 < ids.size * 4 * 0.6          # >1.6x smaller
+    back = bitpack.unpack_ids(w, ids.size, bits=bitpack.bits_for(99_999))
+    assert (back == ids).all()
+
+    n, d, b, k = 8192, 16, 256, 16                   # b*k >= 2048 gate
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = x[rng.integers(0, n, b)] + 1e-4
+    idx = FlatIndex(dims=d, capacity=n)
+    idx.add(np.arange(n), x)
+    _, want = idx.search(q, k, with_distances=False)
+    monkeypatch.setenv("EHTPU_FORCE_PACK_IDS", "1")
+    _, got = idx.search(q, k, with_distances=False)
+    assert got.dtype == np.int64 and (got == want).all()
+    h = idx.search_async(q, k, query_dtype=None)
+    assert h.shape == (b, k)
+    assert (np.asarray(h) == want).all()
+
+    # underfilled: -1 sentinels survive the packed wire
+    small = FlatIndex(dims=d, capacity=4096)
+    small.add(np.arange(4), x[:4])
+    _, got2 = small.search(q[:256], 16, with_distances=False)
+    assert (got2 == -1).sum() == 256 * 12
