@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import os
+from contextlib import nullcontext as _nullcontext
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,19 @@ def _round_capacity(need: int) -> int:
 # Rewriting more than this fraction of capacity triggers a full re-upload
 # instead of a scatter.
 _SCATTER_LIMIT = 0.25
+
+# Deep arenas (cap > _DEEP_CAP_THRESHOLD) build their device mirror by
+# STAGING: the 2-D planes are allocated ON DEVICE by a jitted zeros (so
+# their layout is the canonical tiled layout every consumer executable
+# expects) and filled by per-block donated dynamic_update_slice writes.
+# A whole-arena ``device_put`` instead arrives in the transfer path's
+# compact layout, and the first consumer program then materializes a
+# FULL-ARENA relayout copy (measured: ``copy(xq)`` 9.0 GB -> 12.0 GB
+# tiled at 100M x 96 int8, compile-OOM at 21.7 GB —
+# benchmarks/artifacts/r4_cap100m.log).  Staged blocks bound that
+# relayout temp to block size.  Block rows are chosen so a block is
+# ~64 MB at 96-128 dims.
+_STAGE_BLOCK_ROWS = 1 << 19
 
 # Quantization-regime guard (see FlatIndex._quant_regime_check).
 _GUARD_MIN_ROWS = 4096
@@ -154,6 +168,25 @@ def _scatter_rows_int8x2(
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_invalidate(valid, rows):
     return valid.at[rows].set(False)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "dims", "dtype"))
+def _deep_alloc(cap: int, dims: int, dtype: str):
+    """Device-side arena allocation: the output layout is whatever XLA
+    canonically assigns this shape/dtype — i.e. exactly the layout the
+    (equally default-laid-out) search executables expect their arena
+    parameter in, so no consumer ever inserts a whole-arena relayout
+    copy (see _STAGE_BLOCK_ROWS)."""
+    return jnp.zeros((cap, dims), dtype=dtype)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _deep_write(dst, blk, start):
+    """Donated block write into a staged deep arena (in-place: dst is
+    aliased to the output, the only temp is the block's relayout)."""
+    return jax.lax.dynamic_update_slice_in_dim(
+        dst, blk.astype(dst.dtype), start, 0
+    )
 
 
 @jax.jit
@@ -307,6 +340,16 @@ class FlatIndex(Index):
         self._needs_full_sync = True
         self.quant_guard = bool(quant_guard)
         self._guard_checked_size = 0
+        # Phase-1 candidate-pool multiplier: the HBM-free lever against
+        # the deep pool-containment regime (audit_and_escalate widens
+        # this before it reaches for a wider storage dtype).  Persisted
+        # in snapshots (flat_meta[1]).
+        self.oversample_boost = 1
+        # Host cache of the quantized device planes (hi/lo/scales/x_sq)
+        # from the last full sync — snapshot persists it so restore
+        # skips the multi-minute re-quantization, and a dtype audit
+        # escalation drops it.  None = stale/absent.
+        self._hq: dict | None = None
 
     # ------------------------------------------------------------------ write
 
@@ -323,6 +366,15 @@ class FlatIndex(Index):
         self._hx[rows] = vecs
         self._hvalid[rows] = True
         self._mark_dirty(rows)
+        if self._needs_full_sync and self._hq is not None:
+            # rows written outside the scatter path must be reflected in
+            # the cached quantized planes row-wise (cheap: per-row host
+            # quantize) — dropping the cache instead would force a full
+            # multi-minute re-quantization after e.g. a WAL tail replay
+            if self._hq_fresh():
+                self._hq_update_rows(rows, vecs)
+            else:
+                self._hq = None
 
     def remove(self, rows: np.ndarray) -> None:
         rows = np.asarray(rows, dtype=np.int64).ravel()
@@ -349,6 +401,7 @@ class FlatIndex(Index):
         grown_v[: self._cap] = self._hvalid
         self._hx, self._hvalid, self._cap = grown_x, grown_v, new_cap
         self._needs_full_sync = True
+        self._hq = None  # shape changed; quantized planes are stale
 
     def _deep_chunk(self, pb: int) -> int:
         """Scan-chunk rows for the deep quantized path: bounds the
@@ -374,6 +427,111 @@ class FlatIndex(Index):
     def _quant_regime_check(self) -> None:
         apply_quant_guard(self)
 
+    def _hq_fresh(self) -> bool:
+        """Whether the cached quantized planes describe the CURRENT
+        arena shape + storage dtype (row contents are kept accurate by
+        the write paths; shape/dtype changes invalidate wholesale)."""
+        return (
+            self._hq is not None
+            and self._hq["dtype"] == self.storage_dtype
+            and self._hq["hi"].shape[0] == self._cap
+        )
+
+    def _hq_update_rows(self, rows: np.ndarray, vecs: np.ndarray) -> None:
+        """Row-wise update of the cached quantized planes from RAW f32
+        vectors (metric preprocessing applied here, exactly as the full
+        `_quantized_planes` pass does)."""
+        if self.metric == "cosine":
+            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.maximum(nrm, 1e-30)
+        hq = self._hq
+        hq["sq"][rows] = np.einsum("nd,nd->n", vecs, vecs, dtype=np.float32)
+        if self.storage_dtype in ("int8", "int8x2"):
+            hi, sc, lo = quantize_rows(
+                vecs, residual=self.storage_dtype == "int8x2"
+            )
+            hq["hi"][rows] = hi
+            hq["sc"][rows] = sc
+            if lo is not None:
+                hq["lo"][rows] = lo
+        else:
+            hq["hi"][rows] = vecs.astype(hq["hi"].dtype)
+
+    def _quantized_planes(self) -> dict:
+        """Host-side quantized device planes for the current arena —
+        computed once and cached (``self._hq``): a 50M-row x 96-d
+        quantization costs minutes of single-core host time, and the
+        cache is what lets snapshot/restore skip it entirely (restore
+        measured 203 s vs a 33 s snapshot at 10M in r4, most of it
+        re-quantization + re-upload; persisted planes cut restore to the
+        wire-floor upload)."""
+        if self._hq_fresh():
+            return self._hq
+        import ml_dtypes
+
+        n = self._cap
+        int8 = self.storage_dtype in ("int8", "int8x2")
+        residual = self.storage_dtype == "int8x2"
+        xq = np.empty((n, self.dims), np.int8 if int8 else ml_dtypes.bfloat16)
+        xlo = np.empty((n, self.dims), np.int8) if residual else None
+        xsq = np.empty((n,), np.float32)
+        scales = np.empty((n,), np.float32) if int8 else None
+        step = max(1, (1 << 28) // max(self.dims * 4, 1))
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            blk = self._hx[s:e]
+            if self.metric == "cosine":
+                nrm = np.linalg.norm(blk, axis=1, keepdims=True)
+                blk = blk / np.maximum(nrm, 1e-30)
+            xsq[s:e] = np.einsum("nd,nd->n", blk, blk, dtype=np.float32)
+            if int8:
+                hi, sc, lo = quantize_rows(blk, residual=residual)
+                scales[s:e] = sc
+                xq[s:e] = hi
+                if residual:
+                    xlo[s:e] = lo
+            else:
+                xq[s:e] = blk.astype(ml_dtypes.bfloat16)
+        self._hq = {
+            "dtype": self.storage_dtype,
+            "hi": xq,
+            "lo": xlo,
+            "sq": xsq,
+            "sc": scales,
+        }
+        return self._hq
+
+    def _staged_put(self, plane: np.ndarray) -> jax.Array:
+        """Deep-arena upload: allocate the device plane with a jitted
+        zeros (canonical tiled layout — the layout every consumer
+        executable expects) and fill it with per-block donated
+        dynamic_update_slice writes, so no program ever materializes a
+        whole-arena relayout copy (the 21.7 GB compile-OOM of
+        benchmarks/artifacts/r4_cap100m.log).  Peak HBM = tiled arena +
+        one ~64 MB block."""
+        cap, d = plane.shape
+        ctx = (
+            jax.default_device(self._device)
+            if self._device is not None
+            else _nullcontext()
+        )
+        with ctx:
+            dst = _deep_alloc(cap, d, str(plane.dtype))
+            step = min(_STAGE_BLOCK_ROWS, cap)
+            for s in range(0, cap, step):
+                if s + step <= cap:
+                    blk, start = plane[s : s + step], s
+                else:
+                    # tail: re-write the last full block (overlap rows
+                    # carry identical values) so ONE block shape compiles
+                    blk, start = plane[cap - step : cap], cap - step
+                dst = _deep_write(
+                    dst,
+                    jax.device_put(blk, self._device),
+                    jnp.int32(start),
+                )
+        return dst
+
     def _sync(self) -> None:
         # The host arena keeps *raw* vectors (get() must return exactly what
         # was set); metric preprocessing (cosine -> unit rows) happens here,
@@ -386,47 +544,28 @@ class FlatIndex(Index):
                 # full sync of an int8/bf16 arena must not upload f32 and
                 # cast on device (4x / 2x the bytes).  Chunked so the
                 # temporary never doubles a multi-GB arena.
-                import ml_dtypes
-
-                n = self._cap
-                int8 = self.storage_dtype in ("int8", "int8x2")
-                residual = self.storage_dtype == "int8x2"
-                xq = np.empty(
-                    (n, self.dims), np.int8 if int8 else ml_dtypes.bfloat16
+                planes = self._quantized_planes()
+                deep = self._cap > _DEEP_CAP_THRESHOLD
+                put = self._staged_put if deep else (
+                    lambda a: jax.device_put(a, self._device)
                 )
-                xlo = np.empty((n, self.dims), np.int8) if residual else None
-                xsq = np.empty((n,), np.float32)
-                scales = np.empty((n,), np.float32) if int8 else None
-                step = max(1, (1 << 28) // max(self.dims * 4, 1))
-                for s in range(0, n, step):
-                    e = min(n, s + step)
-                    blk = self._hx[s:e]
-                    if self.metric == "cosine":
-                        nrm = np.linalg.norm(blk, axis=1, keepdims=True)
-                        blk = blk / np.maximum(nrm, 1e-30)
-                    xsq[s:e] = np.einsum(
-                        "nd,nd->n", blk, blk, dtype=np.float32
-                    )
-                    if int8:
-                        hi, sc, lo = quantize_rows(blk, residual=residual)
-                        scales[s:e] = sc
-                        xq[s:e] = hi
-                        if residual:
-                            xlo[s:e] = lo
-                    else:
-                        xq[s:e] = blk.astype(ml_dtypes.bfloat16)
-                self._dx = jax.device_put(xq, self._device)
-                self._dx_sq = jax.device_put(xsq, self._device)
-                if int8:
-                    self._dscales = jax.device_put(scales, self._device)
+                self._dx = put(planes["hi"])
+                self._dx_sq = jax.device_put(planes["sq"], self._device)
+                self._dscales = (
+                    jax.device_put(planes["sc"], self._device)
+                    if planes["sc"] is not None
+                    else None
+                )
                 self._dx_lo = (
-                    jax.device_put(xlo, self._device) if residual else None
+                    put(planes["lo"]) if planes["lo"] is not None else None
                 )
             else:
                 x = jax.device_put(jnp.asarray(self._hx), self._device)
                 xp = dist_ops.preprocess_vectors(x, self.metric)
                 self._dx_sq = dist_ops.sqnorms(xp)
                 self._dx = xp.astype(self.storage_dtype)
+                self._dscales = None
+                self._dx_lo = None
             self._dvalid = jax.device_put(jnp.asarray(self._hvalid), self._device)
             self._needs_full_sync = False
             self._dirty_rows.clear()
@@ -450,8 +589,17 @@ class FlatIndex(Index):
             qrows, scales, lorows = quantize_rows(
                 vecs, residual=self.storage_dtype == "int8x2"
             )
+            sq = np.einsum("nd,nd->n", vecs, vecs)
+            if self._hq_fresh():
+                # keep the cached planes row-accurate so snapshots can
+                # persist them after streaming writes
+                self._hq["hi"][rows] = qrows
+                self._hq["sc"][rows] = scales
+                self._hq["sq"][rows] = sq
+                if lorows is not None:
+                    self._hq["lo"][rows] = lorows
             jrows = jnp.asarray(rows)
-            jsq = jnp.asarray(np.einsum("nd,nd->n", vecs, vecs))
+            jsq = jnp.asarray(sq)
             if self.storage_dtype == "int8x2":
                 (self._dx, self._dx_lo, self._dx_sq, self._dvalid,
                  self._dscales) = _scatter_rows_int8x2(
@@ -474,13 +622,17 @@ class FlatIndex(Index):
                 self._dvalid = _scatter_invalidate(self._dvalid, jnp.asarray(dead))
             self._dirty_rows.clear()
             return
+        sq = np.einsum("nd,nd->n", vecs, vecs)
+        if self._hq_fresh():
+            self._hq["hi"][rows] = vecs.astype(self._hq["hi"].dtype)
+            self._hq["sq"][rows] = sq
         self._dx, self._dx_sq, self._dvalid = _scatter_rows(
             self._dx,
             self._dx_sq,
             self._dvalid,
             jnp.asarray(rows),
             jnp.asarray(vecs).astype(self._dx.dtype),
-            jnp.asarray(np.einsum("nd,nd->n", vecs, vecs)),
+            jnp.asarray(sq),
         )
         # Scatter marks everything valid; re-invalidate removed rows.
         if not valid_bits.all():
@@ -560,7 +712,10 @@ class FlatIndex(Index):
             queries = np.concatenate(
                 [queries, np.zeros((pb - b, self.dims), np.float32)]
             )
-        if self.storage_dtype in ("int8", "int8x2"):
+        deep = self._cap > _DEEP_CAP_THRESHOLD
+        if self.storage_dtype in ("int8", "int8x2") or (
+            deep and self.storage_dtype == "bfloat16"
+        ):
             # quantized shards always use the int8 scoring path; int8x2
             # widens the candidate pool (its hi+lo rerank can actually
             # exploit a deep pool — plain int8's dequantized rerank
@@ -569,10 +724,13 @@ class FlatIndex(Index):
             # rerank plateaus at ~256 pooled candidates even on
             # pathological near-duplicate clusters (phase-1 int8 ordering
             # on normalized rows is good; the rerank just needs the pool
-            # to contain the true top-k)
-            over = 16 if self.storage_dtype == "int8x2" else 8
+            # to contain the true top-k).  oversample_boost is the
+            # audit's HBM-free lever against deep pool containment.
+            over = (
+                16 if self.storage_dtype == "int8x2" else 8
+            ) * self.oversample_boost
             q_dev = _upload_queries(queries, query_dtype)
-            if self._cap > (1 << 21):
+            if deep:
                 # Deep-scale: chunked scan keeps the intermediate at
                 # [B, chunk] (a one-shot [B, cap] matrix would be tens
                 # of GB at 10M-100M rows — BASELINE configs 4-5).  The
@@ -580,7 +738,11 @@ class FlatIndex(Index):
                 # rerank gather forces XLA to materialize a full-arena
                 # relayout copy (12 GB at 100M x 96, the compile-OOM of
                 # r4_cap100m.log) because the scan matmul and the gather
-                # want different arena layouts.
+                # want different arena layouts.  Deep bf16 arenas route
+                # here too (scales/lo = None): every other bf16 path
+                # consumes the whole arena in one op, which at 10M+ rows
+                # either OOMs the [B, cap] score matrix or re-materializes
+                # the arena relayout.
                 d, i = topk_ops.quantized_chunked_exact(
                     q_dev,
                     self._dx,
@@ -592,6 +754,7 @@ class FlatIndex(Index):
                     k=kk,
                     oversample=over,
                     chunk=self._deep_chunk(pb),
+                    pool_budget=(1 << 17) * self.oversample_boost,
                 )
             else:
                 d, i = topk_ops.int8_oversample_search(
@@ -716,17 +879,23 @@ class FlatIndex(Index):
                 [queries, np.zeros((pb - b, self.dims), np.float32)]
             )
         q_dev = _upload_queries(queries, query_dtype)
-        if self.storage_dtype in ("int8", "int8x2"):
+        deep = self._cap > _DEEP_CAP_THRESHOLD
+        if self.storage_dtype in ("int8", "int8x2") or (
+            deep and self.storage_dtype == "bfloat16"
+        ):
             # quantized arenas MUST score through the int8 kernels —
             # the raw hi-plane fed to the f32 kernels (scales never
             # applied) ranks garbage (measured recall 0.26 vs 1.0)
-            over = 16 if self.storage_dtype == "int8x2" else 8
-            if self._cap > (1 << 21):
+            over = (
+                16 if self.storage_dtype == "int8x2" else 8
+            ) * self.oversample_boost
+            if deep:
                 _, i = topk_ops.quantized_chunked_exact(
                     q_dev, self._dx, self._dscales, self._dvalid,
                     self._dx_sq, self._dx_lo,
                     metric=self.metric, k=kk, oversample=over,
                     chunk=self._deep_chunk(pb),
+                    pool_budget=(1 << 17) * self.oversample_boost,
                 )
             else:
                 _, i = topk_ops.int8_oversample_search(
@@ -837,21 +1006,32 @@ class FlatIndex(Index):
         multi-minute quantize+upload.  Queries are live rows (the
         self-match appears in both rankings, so it cancels out of the
         comparison)."""
+        q = self._audit_queries(nq, rng)
+        if q is None:
+            return 1.0
+        return self._measured_recall(q, self._host_oracle(q, k), k)
+
+    def _audit_queries(self, nq: int, rng=None) -> np.ndarray | None:
         live = np.flatnonzero(self._hvalid)
         if live.size == 0:
-            return 1.0
+            return None
         rng = np.random.default_rng(0xA0D17) if rng is None else rng
         sel = rng.choice(live, size=min(nq, live.size), replace=False)
-        q = self._hx[sel]
+        return self._hx[sel]
+
+    def _measured_recall(self, q: np.ndarray, want: np.ndarray, k: int) -> float:
+        """Recall of the live device path against precomputed oracle ids
+        (the oracle — nq full-arena host matmuls, ~30-150 s at 50M — is
+        the expensive half; audit_and_escalate computes it ONCE and
+        re-measures only this cheap device leg per escalation rung)."""
         self._sync()
         _, got = self.search(q, k, with_distances=False)
         got = np.asarray(got)
-        want = self._host_oracle(q, k)
         return float(
             np.mean(
                 [
                     len(set(got[i].tolist()) & set(want[i].tolist())) / k
-                    for i in range(len(sel))
+                    for i in range(len(q))
                 ]
             )
         )
@@ -876,22 +1056,60 @@ class FlatIndex(Index):
             setattr(self, name, None)
         self._needs_full_sync = True
 
+    # Pool-boost ladder cap: past 8x the stacked pool (n_chunks * kc
+    # rows per query) stops fitting the [B, pool] stack comfortably and
+    # the rerank FLOPs rival the scan — a wider dtype is cheaper then.
+    _MAX_POOL_BOOST = 8
+
     def audit_and_escalate(
         self, bar: float = 0.95, nq: int = 64, k: int = 10
     ) -> dict:
-        """Measure device recall (``audit_recall``) and escalate the
-        storage dtype (int8 -> int8x2 -> bfloat16) until it clears
-        ``bar`` or escalation becomes impossible (no wider dtype, or the
-        wider arena would not fit HBM).  This is the production-shape
-        answer to quantization at deep scale: decide from the measured
-        arena, not from a sample extrapolation.  Returns a report dict
-        with every (dtype, recall) audited and the escalations taken."""
-        report: dict = {"audited": [], "escalated": [], "fit_blocked": None}
+        """Measure device recall against an exact host oracle (computed
+        ONCE — it is nq full-arena matmuls, the expensive half at 50M+)
+        and repair sub-``bar`` recall in cost order:
+
+        1. **widen the phase-1 candidate pool** (``oversample_boost``
+           x2 up to ``_MAX_POOL_BOOST``) on DEEP quantized arenas — the
+           HBM-free fix for the pool-containment regime (true neighbors
+           pushed out of the k*oversample pool by hi-plane noise at
+           10M+ density; measured 0.794 at 50M int8x2,
+           benchmarks/artifacts/r4_cap50m_b256.log);
+        2. **escalate the storage dtype** (int8 -> int8x2 -> bfloat16
+           -> float32) when width alone cannot fix ranking resolution —
+           unless the wider arena would not fit HBM.
+
+        This is the production-shape answer to quantization at deep
+        scale: decide from the measured arena, not from a sample
+        extrapolation.  Returns a report dict with every
+        (dtype, boost, recall) audited and the levers pulled."""
+        report: dict = {"audited": [], "escalated": [], "boosted": [],
+                        "fit_blocked": None}
+        q = self._audit_queries(nq)
+        if q is None:
+            return report
+        want = self._host_oracle(q, k)
         while True:
-            r = self.audit_recall(nq=nq, k=k)
+            r = self._measured_recall(q, want, k)
             report["audited"].append({"storage": self.storage_dtype,
+                                      "boost": self.oversample_boost,
                                       "recall": round(r, 4)})
-            if r >= bar or self.storage_dtype not in _ESCALATION:
+            if r >= bar:
+                break
+            if (
+                self._cap > _DEEP_CAP_THRESHOLD
+                and self.storage_dtype in ("int8", "int8x2", "bfloat16")
+                and self.oversample_boost < self._MAX_POOL_BOOST
+            ):
+                self.oversample_boost *= 2
+                report["boosted"].append(self.oversample_boost)
+                _log.warning(
+                    "quant audit: measured device recall@%d %.3f < %.2f "
+                    "at %d rows — widening phase-1 pool boost to %dx "
+                    "(HBM-free) before considering a wider dtype",
+                    k, r, bar, self._size, self.oversample_boost,
+                )
+                continue
+            if self.storage_dtype not in _ESCALATION:
                 break
             nxt = _ESCALATION[self.storage_dtype]
             need = self._device_arena_bytes(nxt)
@@ -920,6 +1138,11 @@ class FlatIndex(Index):
             self.storage_dtype = nxt
             self._guard_checked_size = self._size  # audit outranks guard
             report["escalated"].append(nxt)
+            # wider dtype = better phase-1 ranking: restart the boost
+            # ladder so serving doesn't permanently pay a pool width the
+            # new dtype may not need
+            self.oversample_boost = 1
+            self._hq = None  # free the stale planes before requantizing
             self._drop_device_arena()
             self._sync()
         return report
@@ -932,29 +1155,81 @@ class FlatIndex(Index):
         """Arrays to persist (see store/persistence.py).  The host arena
         is always f32 (quantization is a device-mirror concern), but the
         storage dtype must survive the roundtrip so a reloaded quantized
-        space stays quantized."""
-        return {
+        space stays quantized.  flat_meta = [storage_code, pool_boost].
+
+        When the quantized planes are row-accurate they are persisted
+        too (``q_hi``/``q_lo``/``q_sq``/``q_sc``): restore then uploads
+        them directly instead of re-quantizing the whole arena on one
+        host core — the dominant term of the r4 203 s restore-at-10M
+        (vs a 33 s snapshot, benchmarks/RESULTS.md)."""
+        arrays = {
             "x": self._hx,
             "valid": self._hvalid,
             "flat_meta": np.asarray(
-                [self._STORAGE_CODES.get(self.storage_dtype, 0)], np.int32
+                [self._STORAGE_CODES.get(self.storage_dtype, 0),
+                 self.oversample_boost],
+                np.int32,
             ),
         }
+        if (
+            self.storage_dtype in ("int8", "int8x2")
+            and self._hq_fresh()
+            and not self._dirty_rows
+        ):
+            arrays["q_hi"] = self._hq["hi"]
+            arrays["q_sq"] = self._hq["sq"]
+            arrays["q_sc"] = self._hq["sc"]
+            if self._hq["lo"] is not None:
+                arrays["q_lo"] = self._hq["lo"]
+        return arrays
 
     @classmethod
     def from_state(
         cls, dims: int, metric: str, arrays: dict[str, np.ndarray], **kw
     ) -> "FlatIndex":
-        if "flat_meta" in arrays and "storage_dtype" not in kw:
-            codes = {v: k for k, v in cls._STORAGE_CODES.items()}
-            kw = dict(
-                kw, storage_dtype=codes[int(arrays["flat_meta"][0])]
-            )
-        arrays = {k: v for k, v in arrays.items() if k != "flat_meta"}
-        idx = cls(dims, metric=metric, capacity=arrays["x"].shape[0], **kw)
-        idx._hx[:] = arrays["x"]
-        idx._hvalid[:] = arrays["valid"]
+        boost = 1
+        if "flat_meta" in arrays:
+            meta = np.asarray(arrays["flat_meta"]).ravel()
+            if "storage_dtype" not in kw:
+                codes = {v: k for k, v in cls._STORAGE_CODES.items()}
+                kw = dict(kw, storage_dtype=codes[int(meta[0])])
+            if meta.size > 1:
+                boost = max(1, int(meta[1]))
+        x, valid = arrays["x"], arrays["valid"]
+        idx = cls(dims, metric=metric, capacity=x.shape[0], **kw)
+        idx.oversample_boost = boost
+        # Adopt the loaded arrays in place of the freshly-zeroed arenas
+        # when shapes line up: load_version hands copy-on-write memmaps,
+        # so a multi-GB restore pages lazily off disk instead of
+        # materializing + copying the whole arena up front.
+        if x.shape == idx._hx.shape and x.dtype == np.float32 and x.flags.writeable:
+            idx._hx = x
+        else:
+            idx._hx[: x.shape[0]] = x
+        if (
+            valid.shape == idx._hvalid.shape
+            and valid.dtype == np.bool_
+            and valid.flags.writeable
+        ):
+            idx._hvalid = valid
+        else:
+            idx._hvalid[: valid.shape[0]] = valid
         idx._size = int(np.count_nonzero(idx._hvalid))
+        if (
+            "q_hi" in arrays
+            and "q_sq" in arrays
+            and "q_sc" in arrays
+            and idx.storage_dtype in ("int8", "int8x2")
+            and arrays["q_hi"].shape == (idx._cap, idx.dims)
+            and (idx.storage_dtype != "int8x2" or "q_lo" in arrays)
+        ):
+            idx._hq = {
+                "dtype": idx.storage_dtype,
+                "hi": arrays["q_hi"],
+                "lo": arrays.get("q_lo"),
+                "sq": arrays["q_sq"],
+                "sc": arrays["q_sc"],
+            }
         idx._needs_full_sync = True
         return idx
 

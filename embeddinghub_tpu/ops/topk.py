@@ -623,7 +623,7 @@ def quantized_chunked_ids(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "k", "oversample", "chunk"),
+    static_argnames=("metric", "k", "oversample", "chunk", "pool_budget"),
 )
 def quantized_chunked_exact(
     q: jax.Array,
@@ -637,6 +637,7 @@ def quantized_chunked_exact(
     k: int = 10,
     oversample: int = 8,
     chunk: int = 1 << 20,
+    pool_budget: int = 1 << 17,
 ) -> tuple[jax.Array, jax.Array]:
     """Deep-scale quantized search with the rerank folded INTO the
     chunk scan — the >16M-row replacement for
@@ -655,7 +656,15 @@ def quantized_chunked_exact(
     global top-k.  Peak temps are chunk-sized regardless of capacity
     (compile-measured: flat in cap).  Quality is the same-or-better
     than the monolithic path: every chunk's kc candidates are reranked
-    (an n_chunks*kc-wide exact pool vs kk-wide)."""
+    (an n_chunks*kc-wide exact pool vs kk-wide).
+
+    ``pool_budget`` caps the total stacked pool (n_chunks * kc rows per
+    query); callers widening ``oversample`` against the deep
+    pool-containment regime (true neighbors pushed out of the phase-1
+    hi-plane pool by quantization noise at 10M+ density — recall 0.794
+    at 50M with the r4 defaults, benchmarks/artifacts/r4_cap50m_b256.log)
+    must scale the budget with it or the per-chunk clamp silently undoes
+    the widening at large n_chunks."""
     cap, d = xq.shape
     if cap % chunk != 0:
         raise ValueError(f"capacity {cap} not a multiple of chunk {chunk}")
@@ -679,7 +688,7 @@ def quantized_chunked_exact(
         qq = qf.astype(jnp.bfloat16)
         qscale = None
 
-    kc = min(kk, max(k, (1 << 17) // n_chunks))
+    _kc = min(kk, max(k, pool_budget // n_chunks), chunk)
 
     def step(_, base):
         xc = jax.lax.dynamic_slice_in_dim(xq, base, chunk)
@@ -698,7 +707,7 @@ def quantized_chunked_exact(
         else:
             score = dots
         score = jnp.where(vc[None, :], score, -INF)
-        cv, ci = jax.lax.approx_max_k(score, kc)   # ci: chunk-local
+        cv, ci = jax.lax.approx_max_k(score, _kc)   # ci: chunk-local
         # exact f32 rerank of this chunk's candidates, gathered from
         # the chunk slice (chunk-sized relayout at worst)
         cx = xc[ci].astype(jnp.float32)
@@ -719,11 +728,11 @@ def quantized_chunked_exact(
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     _, (evs, eis) = jax.lax.scan(step, None, bases)
-    sv = jnp.moveaxis(evs, 0, 1).reshape(b, n_chunks * kc)
-    si = jnp.moveaxis(eis, 0, 1).reshape(b, n_chunks * kc)
+    sv = jnp.moveaxis(evs, 0, 1).reshape(b, n_chunks * _kc)
+    si = jnp.moveaxis(eis, 0, 1).reshape(b, n_chunks * _kc)
     # scores are already exact — one approx pre-select bounds the final
     # exact sort, top-k of exact scores is preserved for kk >> k
-    if n_chunks * kc > kk:
+    if n_chunks * _kc > kk:
         sv, pos = jax.lax.approx_max_k(sv, kk)
         si = jnp.take_along_axis(si, pos, axis=1)
     nv, pos = jax.lax.top_k(sv, k)

@@ -206,7 +206,14 @@ def load_version(vdir: str | Path, wal_path: str | Path | None = None):
     vdir = Path(vdir)
     meta = json.loads((vdir / "meta.json").read_text())
     snap = vdir / meta.get("index_dir", "index")
-    arrays = {p.stem: np.load(p) for p in sorted(snap.glob("*.npy"))}
+    # Copy-on-write mmaps: multi-GB arenas page in lazily off disk (the
+    # index adopts them directly — FlatIndex.from_state), stay writable
+    # for point updates, and never touch the snapshot file.  Deleting
+    # the snapshot dir later (save_version GC) is safe: the inode lives
+    # while mapped.
+    arrays = {
+        p.stem: np.load(p, mmap_mode="c") for p in sorted(snap.glob("*.npy"))
+    }
     index_cls = _index_registry()[meta["index_type"]]
     index = index_cls.from_state(meta["dims"], meta["metric"], arrays)
     version = Version(

@@ -225,3 +225,90 @@ def test_int8_scatter_path_keeps_scales_coherent():
         idx.remove([3])
         _, gone = idx.search((big / np.linalg.norm(big))[None, :], 1)
         assert gone[0, 0] != 3
+
+
+# --------------------------------------------------------------------------
+# Deep-path behavior (cap > _DEEP_CAP_THRESHOLD), shrunk onto the CPU mesh
+# by monkeypatching the thresholds: staged arena upload, deep bf16 routing
+# through quantized_chunked_exact, and the audit's boost-before-dtype ladder.
+# --------------------------------------------------------------------------
+
+
+def _shrink_deep(monkeypatch, thresh=1024, block=512, stage=256):
+    from embeddinghub_tpu.index import flat
+
+    monkeypatch.setattr(flat, "_DEEP_CAP_THRESHOLD", thresh)
+    monkeypatch.setattr(flat, "_DEEP_CAP_BLOCK", block)
+    monkeypatch.setattr(flat, "_STAGE_BLOCK_ROWS", stage)
+
+
+def test_deep_staged_upload_and_chunked_search(monkeypatch):
+    """Deep arenas build their device mirror by staged block writes
+    (flat._staged_put — the 100M relayout-OOM fix); the search result
+    must be identical to what a whole-arena upload would serve."""
+    _shrink_deep(monkeypatch)
+    rng = np.random.default_rng(7)
+    n, d = 3000, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(dims=d, metric="l2", storage_dtype="int8x2",
+                    capacity=n, quant_guard=False)
+    idx.add(np.arange(n), x)
+    assert idx.capacity % 512 == 0 and idx.capacity > 1024
+    q = x[:16]
+    _, ids = idx.search(q, k=10)
+    true = exact_oracle(x, q, 10)
+    assert recall(np.asarray(ids), true) >= 0.95
+    assert ids[0, 0] == 0
+    # streaming scatter after a staged build stays coherent
+    nv = rng.standard_normal(d).astype(np.float32)
+    idx.add([n], nv[None, :])
+    _, inew = idx.search(nv[None, :], 1)
+    assert inew[0, 0] == n
+
+
+def test_deep_bf16_routes_through_chunked_scan(monkeypatch):
+    """Deep bfloat16 arenas must route through quantized_chunked_exact
+    (scales/lo = None): every other bf16 path consumes the whole arena
+    in one op, which at real deep scale OOMs the [B, cap] score matrix
+    or re-materializes the arena relayout copy."""
+    _shrink_deep(monkeypatch)
+    rng = np.random.default_rng(9)
+    n, d = 3000, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(dims=d, metric="cosine", storage_dtype="bfloat16",
+                    capacity=n, quant_guard=False)
+    idx.add(np.arange(n), x)
+    q = x[:16]
+    _, ids = idx.search(q, k=10)
+    true = exact_oracle(x, q, 10, metric="cosine")
+    assert recall(np.asarray(ids), true) >= 0.97
+    # async path takes the same route
+    ids2 = np.asarray(idx.search_async(q, 10))
+    assert recall(ids2, true) >= 0.97
+
+
+def test_deep_audit_widens_pool_before_dtype(monkeypatch):
+    """On DEEP quantized arenas the audit's first lever is the HBM-free
+    phase-1 pool boost (the 50M pool-containment fix), not a dtype
+    escalation; dtype only escalates once the boost ladder is spent."""
+    _shrink_deep(monkeypatch, thresh=1024, block=2048, stage=1024)
+    n, d = 30720, 32
+    x = outlier_scaled(n=n, d=d)
+    idx = FlatIndex(dims=d, metric="l2", storage_dtype="int8x2",
+                    capacity=n, quant_guard=False)
+    idx.add(np.arange(n), x)
+    report = idx.audit_and_escalate(bar=0.95, nq=24, k=10)
+    assert report["audited"][-1]["recall"] >= 0.9, report
+    assert len(report["audited"]) > 1, report  # containment did fail
+    assert report["boosted"], report
+    # the first repair rung is a pool widening at the SAME dtype
+    assert report["audited"][0]["boost"] == 1
+    assert report["audited"][1]["storage"] == "int8x2"
+    assert report["audited"][1]["boost"] == 2
+    # any dtype escalation happened only after the boost ladder capped
+    if report["escalated"]:
+        for a in report["audited"]:
+            if a["storage"] != "int8x2":
+                break
+            last_same = a
+        assert last_same["boost"] == FlatIndex._MAX_POOL_BOOST

@@ -251,3 +251,46 @@ def test_version_quant_audit_and_freeze_hook(monkeypatch, rng=None):
     v3.multiset([("a", x[0])])
     rep3 = v3.audit_quantization()
     assert rep3 == {"audited": [], "escalated": [], "fit_blocked": None}
+
+
+def test_flat_quant_planes_and_boost_persist(tmp_path):
+    """Snapshots of quantized arenas persist the quantized device planes
+    + the audit's pool boost (flat_meta[1]); restore adopts them as
+    copy-on-write mmaps instead of re-quantizing the whole arena (the
+    dominant term of the r4 203 s restore-at-10M, RESULTS.md)."""
+    from embeddinghub_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(3)
+    n, d = 512, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatIndex(dims=d, metric="l2", storage_dtype="int8x2",
+                    capacity=n, quant_guard=False)
+    idx.add(np.arange(n), x)
+    idx.search(x[:4], 5)  # full sync builds + caches the planes
+    idx.oversample_boost = 4
+    arrs = idx.state_arrays()
+    assert {"q_hi", "q_lo", "q_sq", "q_sc"} <= set(arrs)
+    for name, arr in arrs.items():
+        np.save(tmp_path / f"{name}.npy", arr)
+    loaded = {
+        p.stem: np.load(p, mmap_mode="c") for p in tmp_path.glob("*.npy")
+    }
+    idx2 = FlatIndex.from_state(d, "l2", loaded)
+    assert idx2.oversample_boost == 4
+    assert idx2.storage_dtype == "int8x2"
+    # planes adopted byte-identical — restore skips re-quantization
+    assert idx2._hq is not None
+    assert np.array_equal(np.asarray(idx2._hq["hi"]),
+                          np.asarray(idx._hq["hi"]))
+    # host arena adopted as the COW memmap (no eager copy)
+    assert isinstance(idx2._hx, np.memmap)
+    assert np.array_equal(idx2.vector(3), x[3])
+    _, ids = idx2.search(x[:8], 1)
+    assert np.array_equal(np.asarray(ids).ravel(), np.arange(8))
+    # post-restore point write (the WAL-tail path) keeps the planes
+    # row-accurate instead of dropping them
+    nv = (3.0 * rng.standard_normal(d)).astype(np.float32)
+    idx2.add([5], nv[None, :])
+    assert idx2._hq is not None
+    _, hit = idx2.search(nv[None, :], 1)
+    assert hit[0, 0] == 5
