@@ -90,6 +90,12 @@ def main():
     ap.add_argument("--efs", default="50,100")
     ap.add_argument("--expands", default="4,8")
     ap.add_argument("--dtypes", default="f32,bf16")
+    ap.add_argument("--specs", default="1",
+                    help="speculative hop depths to sweep (beam_search "
+                         "spec=2: two graph hops per loop iteration)")
+    ap.add_argument("--exit-ks", default="0",
+                    help="early-exit bars to sweep (0 = full-ef "
+                         "hnswlib semantics)")
     ap.add_argument("--gt-file", default="/tmp/cb_1m.npz")
     ap.add_argument("--graph-file", default="/tmp/ehtpu_graph_1m.npz")
     ap.add_argument("--reps", type=int, default=8)
@@ -116,7 +122,12 @@ def main():
         if dt_name == "bf16":
             x = x.astype(jnp.bfloat16)
         for ef in [int(e) for e in args.efs.split(",")]:
-            for expand in [int(e) for e in args.expands.split(",")]:
+            for expand, spec, exit_k in [
+                (e2, s2, x2)
+                for e2 in [int(v) for v in args.expands.split(",")]
+                for s2 in [int(v) for v in args.specs.split(",")]
+                for x2 in [int(v) for v in args.exit_ks.split(",")]
+            ]:
                 def gsearch(qq, nb0, ustack, xx, x_sq, valid):
                     cur = jnp.full((b,), entry, jnp.int32)
                     for layer in range(ustack.shape[0], 0, -1):
@@ -125,7 +136,8 @@ def main():
                             metric="l2")
                     return beam_ops.beam_search(
                         qq, cur, nb0, xx, x_sq, valid, metric="l2",
-                        ef=ef, expand=expand, max_hops=2 * ef + 64)
+                        ef=ef, expand=expand, max_hops=2 * ef + 64,
+                        spec=spec, exit_k=exit_k)
 
                 rest = (state["nb0"], state["ustack"], x,
                         state["x_sq"], state["valid"])
@@ -141,17 +153,20 @@ def main():
                 dd, ids, hops = beam_ops.beam_search(
                     qd, cur, state["nb0"], x, state["x_sq"],
                     state["valid"], metric="l2", ef=ef, expand=expand,
-                    max_hops=2 * ef + 64, with_hops=True)
+                    max_hops=2 * ef + 64, with_hops=True,
+                    spec=spec, exit_k=exit_k)
                 hops = int(hops)
                 ids_np = np.asarray(ids)[: len(test), : args.k]
                 rec = recall(ids_np, gt, args.k)
 
                 gather_bytes = (
-                    hops * b * expand * idx.m0 * 128 * x.dtype.itemsize
+                    hops * b * expand * spec * idx.m0 * 128
+                    * x.dtype.itemsize
                 )
                 report(
                     kernel="graph_beam_1M", backend=backend,
                     vec_dtype=dt_name, ef=ef, expand=expand,
+                    spec=spec, exit_k=exit_k,
                     device_ms=round(dt * 1e3, 2),
                     qps_on_device=round(b / dt, 1),
                     hops=hops,

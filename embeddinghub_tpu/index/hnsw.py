@@ -99,6 +99,14 @@ class HNSWIndex(Index):
         self.ef_construction = int(ef_construction)
         self.ef_search = int(ef_search)
         self.expand = int(expand)
+        # Serving-walk shape knobs (ops/beam.beam_search): spec=2 covers
+        # two graph hops per loop iteration (one merge top-k, one loop
+        # carry — the iteration-overhead-bound regime's lever), exit_k
+        # stops once the top exit_k pool entries are converged instead
+        # of all ef (serving reads only k).  0 = off = hnswlib
+        # semantics (index.cc:41-51).
+        self.spec = 1
+        self.exit_k = 0
         self.refine_rounds = int(refine_rounds)
         # bulk-build tuning knobs (semantics-preserving; see _bulk_refine)
         self.refine_expand = 32
@@ -1823,7 +1831,9 @@ class HNSWIndex(Index):
         # fused full-graph search: upper-layer descent + layer-0 beam in
         # ONE dispatch (the per-layer dispatch loop cost one tunnel round
         # trip per layer in r2)
-        gs = self._gs_fns.get((ef_l, seeds))
+        spec = max(1, int(getattr(self, "spec", 1)))
+        exit_k = int(getattr(self, "exit_k", 0))
+        gs = self._gs_fns.get((ef_l, seeds, spec, exit_k))
         if gs is None:
             from embeddinghub_tpu.ops import wave_insert
 
@@ -1833,8 +1843,10 @@ class HNSWIndex(Index):
                 expand=self.expand,
                 max_hops=2 * ef_l + 64,
                 seed_probes=seeds,
+                spec=spec,
+                exit_k=exit_k,
             )
-            self._gs_fns[(ef_l, seeds)] = gs
+            self._gs_fns[(ef_l, seeds, spec, exit_k)] = gs
         if seeds:
             cent_d, cent_sq_d, medoids_d = route["_dev"]
             d, ids = gs(

@@ -54,7 +54,9 @@ def _pairwise_to_neighbors(q, nvecs, metric, nsq):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "ef", "expand", "max_hops", "with_hops"),
+    static_argnames=(
+        "metric", "ef", "expand", "max_hops", "with_hops", "spec", "exit_k"
+    ),
 )
 def beam_search(
     q: jax.Array,           # [B, D] queries (f32)
@@ -69,6 +71,8 @@ def beam_search(
     expand: int = 4,
     max_hops: int = 256,
     with_hops: bool = False,
+    spec: int = 1,
+    exit_k: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Beam search one layer from ``entry_ids``.
 
@@ -76,6 +80,25 @@ def beam_search(
     the pool starts with all S seeds scored, duplicates masked — the
     centroid-routed search uses this to replace the single descent
     entry with one seed per probed cluster.
+
+    ``spec`` (speculative hop depth, default 1 = classic): each loop
+    iteration expands the E best unexpanded pool candidates, then —
+    for ``spec=2`` — ALSO expands the E best of the just-fetched
+    neighbors before a single pool merge.  One iteration covers two
+    graph hops with one merge top-k and one loop-carry, which is the
+    right trade here: the measured walk is iteration-overhead-bound,
+    not gather-bound (r4 on-device truth: ~11 ms/hop at B=1024 vs an
+    ~82 us/hop HBM gather floor — benchmarks/graph_ondevice.py).  The
+    speculative picks see only this fetch's distances (not the whole
+    pool), so the expansion ORDER differs slightly from hnswlib's;
+    coverage per iteration is strictly larger.
+
+    ``exit_k`` (0 = off = hnswlib semantics): stop when the nearest
+    unexpanded candidate is farther than the ``exit_k``-th best pool
+    entry instead of the ``ef``-th.  With k << ef this exits the tail
+    hops that only reshuffle pool entries below the returned top-k
+    (hnswlib's loop keeps walking until the FULL ef pool is converged
+    — index.cc:41-51; serving only reads the top k).
 
     Returns ``(dist [B, ef], ids [B, ef])`` sorted nearest-first
     (+inf / -1 padding); with ``with_hops`` a third scalar — the
@@ -115,17 +138,45 @@ def beam_search(
         [seed_ids, jnp.full((b, ef - s), -1, jnp.int32)], axis=1
     )
     pool_x = jnp.zeros((b, ef), bool)
+    # sort-invariant: the pool stays ascending-by-distance (merge top_k
+    # re-establishes it every iteration) so cond can read its exit bar
+    # at a fixed column instead of re-reducing the pool
+    nd0, pos0 = jax.lax.top_k(-pool_d, ef)
+    pool_d = -nd0
+    pool_i = jnp.take_along_axis(pool_i, pos0, axis=1)
+
+    bar_col = (exit_k if exit_k and exit_k < ef else ef) - 1
 
     def cond(state):
         pool_d, pool_i, pool_x, hops = state
         unexp = jnp.where(~pool_x & (pool_i >= 0), pool_d, INF)
         best_unexp = jnp.min(unexp, axis=1)
-        worst = jnp.max(jnp.where(pool_i >= 0, pool_d, -INF), axis=1)
-        pool_full = jnp.sum((pool_i >= 0).astype(jnp.int32), axis=1) >= ef
-        active = jnp.isfinite(best_unexp) & (
-            ~pool_full | (best_unexp <= worst)
-        )
+        # pool sorted ascending with INF padding: column bar_col IS the
+        # (bar_col+1)-th best distance, and is +inf while the pool holds
+        # fewer entries — which keeps the query active, exactly the old
+        # pool_full logic
+        bar = pool_d[:, bar_col]
+        active = jnp.isfinite(best_unexp) & (best_unexp <= bar)
         return jnp.any(active) & (hops < max_hops)
+
+    def fetch(sel_ids, sel_valid, pool_i, exclude):
+        """Gather+score the neighbor lists of ``sel_ids`` [B, E]:
+        dedup vs the pool, vs this fetch itself (keep first), and vs
+        every id array in ``exclude``; return (ids [B, E*M], dist)."""
+        nb = neighbors[sel_ids].reshape(b, e * m)
+        nb = jnp.where(jnp.repeat(sel_valid, m, axis=1), nb, -1)
+        drop = (nb[:, :, None] == pool_i[:, None, :]).any(axis=2)
+        eq = nb[:, :, None] == nb[:, None, :]
+        earlier = jnp.tril(jnp.ones((e * m, e * m), bool), k=-1)
+        drop |= (eq & earlier[None]).any(axis=2)
+        for ex in exclude:
+            drop |= (nb[:, :, None] == ex[:, None, :]).any(axis=2)
+        live = (nb >= 0) & ~drop
+        nb_safe = jnp.where(live, nb, 0)
+        nvecs = x[nb_safe]
+        ndist = _pairwise_to_neighbors(q, nvecs, metric, x_sq[nb_safe])
+        ndist = jnp.where(live & valid[nb_safe], ndist, INF)
+        return jnp.where(live, nb, -1), ndist
 
     def body(state):
         pool_d, pool_i, pool_x, hops = state
@@ -143,29 +194,35 @@ def beam_search(
         ) & sel_valid[:, :, None]
         pool_x = pool_x | hit.any(axis=1)
 
-        # --- gather neighbor lists: [B, E, M] -> [B, E*M] ---
-        nb = neighbors[sel_ids].reshape(b, e * m)
-        nb = jnp.where(jnp.repeat(sel_valid, m, axis=1), nb, -1)
+        nb1_id, ndist1 = fetch(sel_ids, sel_valid, pool_i, [])
+        parts_d = [pool_d, ndist1]
+        parts_i = [pool_i, nb1_id]
+        x1 = jnp.zeros_like(ndist1, bool)
 
-        # --- dedup: drop entries already in the pool or repeated in
-        # this fetch (keep first occurrence) ---
-        in_pool = (nb[:, :, None] == pool_i[:, None, :]).any(axis=2)
-        eq = nb[:, :, None] == nb[:, None, :]
-        earlier = jnp.tril(jnp.ones((e * m, e * m), bool), k=-1)
-        dup = (eq & earlier[None]).any(axis=2)
-        live = (nb >= 0) & ~in_pool & ~dup
-        nb_safe = jnp.where(live, nb, 0)
-
-        # --- distances for fetched neighbors ---
-        nvecs = x[nb_safe]
-        ndist = _pairwise_to_neighbors(q, nvecs, metric, x_sq[nb_safe])
-        ndist = jnp.where(live & valid[nb_safe], ndist, INF)
-        nb_id = jnp.where(live, nb, -1)
+        if spec >= 2:
+            # --- speculative second hop: expand the E best of the
+            # just-fetched frontier before the (single) pool merge ---
+            sd, ssel = jax.lax.top_k(-ndist1, e)        # [B, E] fetch cols
+            s_valid = jnp.isfinite(-sd)
+            s_ids = jnp.where(
+                s_valid, jnp.take_along_axis(nb1_id, ssel, axis=1), 0
+            )
+            hit2 = (
+                jnp.arange(e * m)[None, None, :] == ssel[:, :, None]
+            ) & s_valid[:, :, None]
+            x1 = hit2.any(axis=1)                       # entered expanded
+            nb2_id, ndist2 = fetch(s_ids, s_valid, pool_i, [nb1_id])
+            parts_d.append(ndist2)
+            parts_i.append(nb2_id)
 
         # --- merge into pool (expanded flags travel with entries) ---
-        all_d = jnp.concatenate([pool_d, ndist], axis=1)
-        all_i = jnp.concatenate([pool_i, nb_id], axis=1)
-        all_x = jnp.concatenate([pool_x, jnp.zeros_like(ndist, bool)], axis=1)
+        all_d = jnp.concatenate(parts_d, axis=1)
+        all_i = jnp.concatenate(parts_i, axis=1)
+        all_x = jnp.concatenate(
+            [pool_x, x1]
+            + ([jnp.zeros((b, e * m), bool)] if spec >= 2 else []),
+            axis=1,
+        )
         nd, pos = jax.lax.top_k(-all_d, ef)
         pool_d = -nd
         pool_i = jnp.take_along_axis(all_i, pos, axis=1)

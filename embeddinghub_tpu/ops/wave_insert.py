@@ -370,7 +370,7 @@ def make_wave_commit(
 
 
 def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
-                      seed_probes: int = 0):
+                      seed_probes: int = 0, spec: int = 1, exit_k: int = 0):
     """Fused full-graph query: greedy descent through the stacked upper
     layers + layer-0 beam, one dispatch (the r2 search paid one dispatch
     per layer).
@@ -400,7 +400,7 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
             return beam_ops.beam_search(
                 q, cur, nb0, x, x_sq, valid,
                 metric=metric, ef=ef, expand=min(expand, ef),
-                max_hops=max_hops,
+                max_hops=max_hops, spec=spec, exit_k=exit_k,
             )
 
         return graph_search
@@ -427,7 +427,7 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
         return beam_ops.beam_search(
             q, entries, nb0, x, x_sq, valid,
             metric=metric, ef=ef, expand=min(expand, ef),
-            max_hops=max_hops,
+            max_hops=max_hops, spec=spec, exit_k=exit_k,
         )
 
     return graph_search_routed
