@@ -31,8 +31,9 @@ def format_rows(*cols, out=None) -> None:
 
 
 def format_pg(title: str = "", out=None) -> None:
-    """Section divider + heading (reference format_pg)."""
+    """Section divider + heading (reference format_pg).  The title line
+    prints even when empty — the reference's ``print(s)`` emits a blank
+    line, and downstream output diffs cleanly only if we do too."""
     out = out or sys.stdout
     print(DIVIDER, file=out)
-    if title:
-        print(title, file=out)
+    print(title, file=out)

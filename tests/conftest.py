@@ -45,3 +45,13 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--golden-update",
+        action="store_true",
+        default=False,
+        help="rewrite tests/golden/ snapshot files instead of comparing "
+             "(test_cli_golden.py)",
+    )
