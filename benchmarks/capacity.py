@@ -249,14 +249,18 @@ def main():
 
         del idx
         t0 = time.perf_counter()
+        # copy-on-write mmaps, adopted in place by from_state: restore
+        # pages the arena lazily and — with the persisted q_* planes —
+        # skips the host re-quantization that dominated the r4 203 s
+        # restore-at-10M (store/persistence.load_version does the same)
         arrays = {
-            name[:-4]: np.load(os.path.join(tmp, name), mmap_mode="r")
+            name[:-4]: np.load(os.path.join(tmp, name), mmap_mode="c")
             for name in os.listdir(tmp)
         }
-        idx2 = FlatIndex.from_state(d, "cosine",
-                                    {k2: np.asarray(v)
-                                     for k2, v in arrays.items()},
-                                    storage_dtype=args.storage)
+        # no storage_dtype override: flat_meta carries the EFFECTIVE
+        # dtype (the guard may have escalated past args.storage, and the
+        # persisted q_* planes belong to that dtype)
+        idx2 = FlatIndex.from_state(d, "cosine", arrays)
         idx2._sync()
         jax.block_until_ready(idx2._dx)
         t_rest = time.perf_counter() - t0
