@@ -169,6 +169,12 @@ def main():
     ap.add_argument("--data-file", default=None,
                     help="npz cache for train/test only (lets the "
                          "CPU-bound data gen run ahead of the TPU run)")
+    ap.add_argument("--gt-only", action="store_true",
+                    help="exit after writing --gt-file (stage split for "
+                         "the ~10-min harness cap on TPU processes)")
+    ap.add_argument("--skip-sweep", action="store_true",
+                    help="skip the ef sweep (each ef is its own multi-"
+                         "minute remote compile; stage split as above)")
     args = ap.parse_args()
 
     from embeddinghub_tpu.index.hnsw import HNSWIndex
@@ -193,6 +199,9 @@ def main():
         print(f"ground truth in {time.time()-t0:.0f}s", flush=True)
         if args.gt_file:
             np.savez(args.gt_file, train=train, test=test, gt=gt)
+    if args.gt_only:
+        report(event="gt_only_done", path=args.gt_file)
+        return
 
     if args.load_index:
         z = np.load(args.load_index)
@@ -238,7 +247,8 @@ def main():
                    ef=ef, recall=round(recall(ids, gt, args.k), 4),
                    qps=round(len(test) / dt, 1), build_s=round(build_s, 1))
 
-    sweep(base_engine)
+    if not args.skip_sweep:
+        sweep(base_engine)
 
     if args.seed_probes:
         # centroid-routed multi-entry search: same graph, same ef —
