@@ -157,11 +157,17 @@ def run(args) -> None:
     from embeddinghub_tpu.index import flat as flat_mod
     from embeddinghub_tpu.index.flat import FlatIndex
 
-    z = np.load(args.oracle)
-    assert int(z["n"]) == args.n and int(z["dims"]) == args.dims, (
-        "oracle file was prepped for a different arena config"
-    )
-    q, oracle = z["queries"], z["oracle"]
+    if args.no_recall:
+        # warm pass: compile+cache the fill/query programs for this
+        # arena shape while the CPU oracle prep is still running (the
+        # persistent compile cache is shared across processes)
+        q, oracle = None, None
+    else:
+        z = np.load(args.oracle)
+        assert int(z["n"]) == args.n and int(z["dims"]) == args.dims, (
+            "oracle file was prepped for a different arena config"
+        )
+        q, oracle = z["queries"], z["oracle"]
 
     t_all = time.perf_counter()
     centers, block_rows, _ = make_gen(
@@ -227,7 +233,11 @@ def run(args) -> None:
 
     # ---- query throughput (wire-inclusive, int8 query upload) ----
     qpad = np.zeros((args.batch, args.dims), np.float32)
-    qpad[:NQ] = q
+    if q is not None:
+        qpad[:NQ] = q
+    else:
+        qpad[:] = np.random.default_rng(3).standard_normal(
+            (args.batch, args.dims)).astype(np.float32)
     t0 = time.perf_counter()
     idx.search(qpad, args.k, with_distances=False, query_dtype="bfloat16")
     rep(stage="first_query", seconds=round(time.perf_counter() - t0, 1),
@@ -242,6 +252,10 @@ def run(args) -> None:
         ms_per_batch=round(t_q / args.qbatches * 1e3, 1))
 
     # ---- recall@k vs the prep oracle ----
+    if oracle is None:
+        rep(stage="no_recall_warm_pass_done",
+            total_process_seconds=round(time.perf_counter() - t_all, 1))
+        return
     _, got = idx.search(qpad, args.k, with_distances=False)
     got = np.asarray(got)[:NQ]
     recall = float(np.mean([
@@ -303,6 +317,9 @@ def main():
     ap.add_argument("--storage", default="int8x2",
                     choices=["int8", "int8x2"])
     ap.add_argument("--boost", type=int, default=1)
+    ap.add_argument("--no-recall", action="store_true",
+                    help="skip oracle load + recall (compile-warming "
+                         "pass while the CPU oracle prep runs)")
     ap.add_argument("--stream", type=int, default=0,
                     help="streaming-insert rows to measure after the "
                          "query/recall stages (run leg only)")
