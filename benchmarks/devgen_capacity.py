@@ -120,9 +120,17 @@ def prep(args) -> None:
 
     best_s = np.full((NQ, args.k), -np.inf, np.float32)
     best_i = np.full((NQ, args.k), -1, np.int64)
+    start_block = 0
+    part = args.out + ".part.npz"
+    if os.path.exists(part):                # resume a killed prep: the
+        z = np.load(part)                   # running top-k is the whole
+        if int(z["n"]) == args.n and int(z["seed"]) == args.seed:
+            best_s, best_i = z["best_s"], z["best_i"]
+            start_block = int(z["blocks"])
+            rep(stage="prep_resume", from_block=start_block)
     t0 = time.perf_counter()
     nblocks = -(-args.n // BLOCK)
-    for i in range(nblocks):
+    for i in range(start_block, nblocks):
         rows = np.asarray(gen(centers, i))                 # [B, D] unit
         lo = i * BLOCK
         if lo + BLOCK > args.n:                            # tail mask
@@ -140,6 +148,12 @@ def prep(args) -> None:
         if (i + 1) % 8 == 0 or i == nblocks - 1:
             rep(stage="prep_progress", blocks=i + 1, of=nblocks,
                 seconds=round(time.perf_counter() - t0, 1))
+            tmp = part + ".tmp.npz"
+            np.savez(tmp, best_s=best_s, best_i=best_i, blocks=i + 1,
+                     n=args.n, seed=args.seed)
+            os.replace(tmp, part)
+    if os.path.exists(part):
+        os.remove(part)
     np.savez(
         args.out, queries=q, oracle=best_i, n=args.n, dims=args.dims,
         centers=args.centers, noise=args.noise, seed=args.seed, k=args.k,
