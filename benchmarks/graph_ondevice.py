@@ -99,6 +99,9 @@ def main():
     ap.add_argument("--gt-file", default="/tmp/cb_1m.npz")
     ap.add_argument("--graph-file", default="/tmp/ehtpu_graph_1m.npz")
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--fused", action="store_true",
+                    help="augment_arena single-gather fetch (fold x_sq "
+                         "+ valid into trailing arena columns)")
     args = ap.parse_args()
 
     import jax
@@ -121,6 +124,11 @@ def main():
         x = state["x"]
         if dt_name == "bf16":
             x = x.astype(jnp.bfloat16)
+        if args.fused:
+            x = beam_ops.augment_arena(
+                x, state["x_sq"], state["valid"], "l2"
+            )
+            x = jax.block_until_ready(x)
         for ef in [int(e) for e in args.efs.split(",")]:
             for expand, spec, exit_k in [
                 (e2, s2, x2)
@@ -129,6 +137,8 @@ def main():
                 for x2 in [int(v) for v in args.exit_ks.split(",")]
             ]:
                 def gsearch(qq, nb0, ustack, xx, x_sq, valid):
+                    if args.fused:
+                        x_sq = valid = None
                     cur = jnp.full((b,), entry, jnp.int32)
                     for layer in range(ustack.shape[0], 0, -1):
                         cur = beam_ops.greedy_descend(
@@ -145,14 +155,16 @@ def main():
                     lambda qq, *r: gsearch(qq, *r), qd, rest, args.reps)
 
                 # hops + recall from one instrumented dispatch
+                i_sq = None if args.fused else state["x_sq"]
+                i_valid = None if args.fused else state["valid"]
                 cur = jnp.full((b,), entry, jnp.int32)
                 for layer in range(state["ustack"].shape[0], 0, -1):
                     cur = beam_ops.greedy_descend(
                         qd, cur, state["ustack"][layer - 1], x,
-                        state["x_sq"], metric="l2")
+                        i_sq, metric="l2")
                 dd, ids, hops = beam_ops.beam_search(
-                    qd, cur, state["nb0"], x, state["x_sq"],
-                    state["valid"], metric="l2", ef=ef, expand=expand,
+                    qd, cur, state["nb0"], x, i_sq,
+                    i_valid, metric="l2", ef=ef, expand=expand,
                     max_hops=2 * ef + 64, with_hops=True,
                     spec=spec, exit_k=exit_k)
                 hops = int(hops)

@@ -52,6 +52,59 @@ def _pairwise_to_neighbors(q, nvecs, metric, nsq):
     return 1.0 - dots
 
 
+def augment_arena(x, x_sq, valid, metric: str):
+    """Fold ``x_sq`` and ``valid`` INTO the vector arena as trailing
+    penalty columns so the walk needs ONE gather per hop.
+
+    TPU gathers cost per-INDEX, not per-byte (measured r5: the [B, E*M]
+    scalar gathers ``x_sq[nb]`` 1.9 ms + ``valid[nb]`` 2.2 ms vs 2.5 ms
+    for the whole [B, E*M, 128] vector gather at B=1024) — so the
+    classic three-gather fetch spends ~60% of its time fetching 5 bytes
+    per row.  The augmented arena carries, after the D vector columns:
+
+      * f32 arena  — one column: pen = x_sq (l2) or 0 (ip/cosine),
+        +inf where the row is dead;
+      * bf16 arena — two columns hi/lo with hi+lo == pen to f32
+        round-off (bf16 alone quantizes x_sq to ~0.4%, which is above
+        the distance gaps that decide the ranking).
+
+    dist then = pen - 2 q.x + |q|^2 (l2) / 1 - q.x + pen (ip): dead
+    rows score +inf with no mask gather.  The lane padding this adds
+    (D=128 -> 2-column tail pads the row to 256 lanes) costs HBM bytes,
+    not gather time — per-index cost dominates the fetch.
+    """
+    pen = x_sq if metric == "l2" else jnp.zeros_like(x_sq)
+    pen = jnp.where(valid, pen.astype(jnp.float32), jnp.inf)
+    if x.dtype == jnp.bfloat16:
+        hi = pen.astype(jnp.bfloat16)
+        lo = jnp.where(
+            jnp.isfinite(pen), pen - hi.astype(jnp.float32), 0.0
+        ).astype(jnp.bfloat16)
+        cols = jnp.stack([hi, lo], axis=1)
+    else:
+        cols = pen[:, None].astype(x.dtype)
+    return jnp.concatenate([x, cols], axis=1)
+
+
+def _aug_cols(x_dtype) -> int:
+    return 2 if x_dtype == jnp.bfloat16 else 1
+
+
+def _pairwise_fused(q, g, metric, d):
+    """dist(q [B, D], g [B, K, D+A]) where g rows came from an
+    ``augment_arena`` table; the trailing A columns are the penalty."""
+    dots = jnp.einsum(
+        "bkd,bd->bk", g[..., :d], q, preferred_element_type=jnp.float32
+    )
+    pen = g[..., d].astype(jnp.float32)
+    if g.shape[-1] > d + 1:
+        pen = pen + g[..., d + 1].astype(jnp.float32)
+    if metric == "l2":
+        qsq = jnp.einsum("bd,bd->b", q, q)[:, None]
+        return jnp.maximum(pen - 2.0 * dots + qsq, 0.0)
+    return 1.0 - dots + pen
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -62,9 +115,9 @@ def beam_search(
     q: jax.Array,           # [B, D] queries (f32)
     entry_ids: jax.Array,   # [B] or [B, S] entry node(s) per query (int32)
     neighbors: jax.Array,   # [N, M] int32 neighbor table, -1 padded
-    x: jax.Array,           # [N, D] vectors (f32)
-    x_sq: jax.Array,        # [N] squared norms (l2) / ones
-    valid: jax.Array,       # [N] live-row mask
+    x: jax.Array,           # [N, D] vectors — or [N, D+A] augment_arena
+    x_sq: jax.Array | None, # [N] squared norms (l2) / ones; None = fused
+    valid: jax.Array | None,  # [N] live-row mask; None = fused
     *,
     metric: str = "l2",
     ef: int = 64,
@@ -105,8 +158,14 @@ def beam_search(
     number of while-loop iterations the batch took (perf diagnostics:
     hops x per-hop gather bytes = the HBM traffic of the walk).
     All ids are row indices into ``x``.
+
+    With ``x_sq=None`` (and ``valid=None``) the kernel runs in FUSED
+    mode: ``x`` must be an ``augment_arena`` table whose trailing
+    columns carry the x_sq/liveness penalty, and the per-hop fetch is a
+    single gather (the dominant hop cost — see ``augment_arena``).
     """
     b, d = q.shape
+    fused = x_sq is None
     m = neighbors.shape[1]
     e = min(expand, ef)  # can't expand more candidates than the pool holds
 
@@ -128,9 +187,13 @@ def beam_search(
         first = first.at[:, j].set(~dup_j)
     live_seed = first & (entry_ids >= 0)
     safe_seed = jnp.maximum(entry_ids, 0)
-    evecs = x[safe_seed]                                   # [B, S, D]
-    ed = _pairwise_to_neighbors(q, evecs, metric, x_sq[safe_seed])
-    ed = jnp.where(live_seed & valid[safe_seed], ed, INF)
+    evecs = x[safe_seed]                                   # [B, S, D(+A)]
+    if fused:
+        ed = _pairwise_fused(q, evecs, metric, d)
+        ed = jnp.where(live_seed, ed, INF)
+    else:
+        ed = _pairwise_to_neighbors(q, evecs, metric, x_sq[safe_seed])
+        ed = jnp.where(live_seed & valid[safe_seed], ed, INF)
     seed_ids = jnp.where(live_seed, entry_ids, -1)
 
     pool_d = jnp.concatenate([ed, jnp.full((b, ef - s), INF)], axis=1)
@@ -174,8 +237,15 @@ def beam_search(
         live = (nb >= 0) & ~drop
         nb_safe = jnp.where(live, nb, 0)
         nvecs = x[nb_safe]
-        ndist = _pairwise_to_neighbors(q, nvecs, metric, x_sq[nb_safe])
-        ndist = jnp.where(live & valid[nb_safe], ndist, INF)
+        if fused:
+            ndist = jnp.where(
+                live, _pairwise_fused(q, nvecs, metric, d), INF
+            )
+        else:
+            ndist = _pairwise_to_neighbors(
+                q, nvecs, metric, x_sq[nb_safe]
+            )
+            ndist = jnp.where(live & valid[nb_safe], ndist, INF)
         return jnp.where(live, nb, -1), ndist
 
     def body(state):
@@ -242,8 +312,8 @@ def greedy_descend(
     q: jax.Array,          # [B, D]
     entry_ids: jax.Array,  # [B]
     neighbors: jax.Array,  # [N, M] one upper layer's table
-    x: jax.Array,
-    x_sq: jax.Array,
+    x: jax.Array,          # [N, D] — or [N, D+A] augment_arena table
+    x_sq: jax.Array | None,  # None = fused (see beam_search)
     *,
     metric: str = "l2",
     max_hops: int = 64,
@@ -253,10 +323,15 @@ def greedy_descend(
     if metric == "cosine":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-30)
 
+    d = q.shape[1]
+    fused = x_sq is None
     cur = entry_ids.astype(jnp.int32)
-    cur_d = _pairwise_to_neighbors(
-        q, x[cur][:, None, :], metric, x_sq[cur][:, None]
-    )[:, 0]
+    if fused:
+        cur_d = _pairwise_fused(q, x[cur][:, None, :], metric, d)[:, 0]
+    else:
+        cur_d = _pairwise_to_neighbors(
+            q, x[cur][:, None, :], metric, x_sq[cur][:, None]
+        )[:, 0]
 
     def cond(state):
         cur, cur_d, improved, hops = state
@@ -267,7 +342,12 @@ def greedy_descend(
         nb = neighbors[cur]
         live = nb >= 0
         nb_safe = jnp.where(live, nb, 0)
-        nd = _pairwise_to_neighbors(q, x[nb_safe], metric, x_sq[nb_safe])
+        if fused:
+            nd = _pairwise_fused(q, x[nb_safe], metric, d)
+        else:
+            nd = _pairwise_to_neighbors(
+                q, x[nb_safe], metric, x_sq[nb_safe]
+            )
         nd = jnp.where(live, nd, INF)
         best = jnp.argmin(nd, axis=1)
         best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]

@@ -370,7 +370,8 @@ def make_wave_commit(
 
 
 def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
-                      seed_probes: int = 0, spec: int = 1, exit_k: int = 0):
+                      seed_probes: int = 0, spec: int = 1, exit_k: int = 0,
+                      rerank_k: int = 0):
     """Fused full-graph query: greedy descent through the stacked upper
     layers + layer-0 beam, one dispatch (the r2 search paid one dispatch
     per layer).
@@ -384,12 +385,39 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
     single-entry walk underperforms on dense multi-million-row arenas
     (greedy descent stalling in cluster-local minima was the measured
     1M failure mode; at 4M the residual @ef100 gap concentrates there
-    too — RESULTS.md "The 4M run")."""
+    too — RESULTS.md "The 4M run").
+
+    With ``rerank_k > 0`` the fns take two extra trailing args
+    ``(x_exact [N, D] f32, x_exact_sq [N])`` and re-score the top
+    ``rerank_k`` pool entries against them, returning ``[B, rerank_k]``
+    instead of ``[B, ef]`` — the serving pairing for a FUSED (bf16
+    ``beam_ops.augment_arena``) walk arena: the walk ranks in bf16 at
+    one-gather-per-hop speed, the k rows the caller actually reads get
+    exact f32 distances, all still one dispatch."""
+
+    def _rerank(q, d, ids, x_exact, x_exact_sq):
+        kk = min(rerank_k, d.shape[1])
+        top = ids[:, :kk]
+        safe = jnp.maximum(top, 0)
+        dots = jnp.einsum(
+            "bkd,bd->bk", x_exact[safe], q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == "l2":
+            qsq = jnp.einsum("bd,bd->b", q, q)[:, None]
+            nd = jnp.maximum(x_exact_sq[safe] - 2.0 * dots + qsq, 0.0)
+        else:
+            nd = 1.0 - dots
+        nd = jnp.where((top >= 0) & jnp.isfinite(d[:, :kk]), nd, jnp.inf)
+        ns, pos = jax.lax.top_k(-nd, kk)
+        return -ns, jnp.take_along_axis(top, pos, axis=1)
 
     if seed_probes <= 0:
 
         @jax.jit
-        def graph_search(q, entry, nb0, upper, x, x_sq, valid):
+        def graph_search(q, entry, nb0, upper, x, x_sq, valid,
+                         *exact):
             b = q.shape[0]
             L = upper.shape[0]
             cur = jnp.full((b,), entry, jnp.int32)
@@ -397,11 +425,14 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
                 cur = beam_ops.greedy_descend(
                     q, cur, upper[layer - 1], x, x_sq, metric=metric,
                 )
-            return beam_ops.beam_search(
+            d, ids = beam_ops.beam_search(
                 q, cur, nb0, x, x_sq, valid,
                 metric=metric, ef=ef, expand=min(expand, ef),
                 max_hops=max_hops, spec=spec, exit_k=exit_k,
             )
+            if rerank_k:
+                return _rerank(q, d, ids, *exact)
+            return d, ids
 
         return graph_search
 
@@ -409,7 +440,7 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
 
     @jax.jit
     def graph_search_routed(q, entry, cent, cent_sq, medoids,
-                            nb0, upper, x, x_sq, valid):
+                            nb0, upper, x, x_sq, valid, *exact):
         b = q.shape[0]
         L = upper.shape[0]
         cur = jnp.full((b,), entry, jnp.int32)
@@ -424,10 +455,13 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
         score = 2.0 * dots - cent_sq[None, :] if metric == "l2" else dots
         _, cid = jax.lax.top_k(score, min(s, cent.shape[0]))
         entries = jnp.concatenate([cur[:, None], medoids[cid]], axis=1)
-        return beam_ops.beam_search(
+        d, ids = beam_ops.beam_search(
             q, entries, nb0, x, x_sq, valid,
             metric=metric, ef=ef, expand=min(expand, ef),
             max_hops=max_hops, spec=spec, exit_k=exit_k,
         )
+        if rerank_k:
+            return _rerank(q, d, ids, *exact)
+        return d, ids
 
     return graph_search_routed
