@@ -102,7 +102,12 @@ def main():
     ap.add_argument("--fused", action="store_true",
                     help="augment_arena single-gather fetch (fold x_sq "
                          "+ valid into trailing arena columns)")
+    ap.add_argument("--packed", action="store_true",
+                    help="pack_neighbors block-gather fetch (implies "
+                         "--fused for seeds/descent; int8 phase-1)")
     args = ap.parse_args()
+    if args.packed:
+        args.fused = True
 
     import jax
     import jax.numpy as jnp
@@ -129,6 +134,15 @@ def main():
                 x, state["x_sq"], state["valid"], "l2"
             )
             x = jax.block_until_ready(x)
+        packed = dscale = None
+        if args.packed:
+            t0 = time.time()
+            packed, dscale = beam_ops.pack_neighbors(
+                state["x"], state["nb0"]
+            )
+            packed = jax.block_until_ready(packed)
+            report(event="pack", seconds=round(time.time() - t0, 1),
+                   bytes=int(packed.size))
         for ef in [int(e) for e in args.efs.split(",")]:
             for expand, spec, exit_k in [
                 (e2, s2, x2)
@@ -136,7 +150,8 @@ def main():
                 for s2 in [int(v) for v in args.specs.split(",")]
                 for x2 in [int(v) for v in args.exit_ks.split(",")]
             ]:
-                def gsearch(qq, nb0, ustack, xx, x_sq, valid):
+                def gsearch(qq, nb0, ustack, xx, x_sq, valid,
+                            pk=None, ds=None):
                     if args.fused:
                         x_sq = valid = None
                     cur = jnp.full((b,), entry, jnp.int32)
@@ -147,10 +162,13 @@ def main():
                     return beam_ops.beam_search(
                         qq, cur, nb0, xx, x_sq, valid, metric="l2",
                         ef=ef, expand=expand, max_hops=2 * ef + 64,
-                        spec=spec, exit_k=exit_k)
+                        spec=spec, exit_k=exit_k,
+                        packed=pk, dscale=ds)
 
                 rest = (state["nb0"], state["ustack"], x,
                         state["x_sq"], state["valid"])
+                if args.packed:
+                    rest = rest + (packed, dscale)
                 dt = device_seconds(
                     lambda qq, *r: gsearch(qq, *r), qd, rest, args.reps)
 
@@ -166,9 +184,26 @@ def main():
                     qd, cur, state["nb0"], x, i_sq,
                     i_valid, metric="l2", ef=ef, expand=expand,
                     max_hops=2 * ef + 64, with_hops=True,
-                    spec=spec, exit_k=exit_k)
+                    spec=spec, exit_k=exit_k,
+                    packed=packed, dscale=dscale)
                 hops = int(hops)
-                ids_np = np.asarray(ids)[: len(test), : args.k]
+                if args.packed:
+                    # serving reranks the read rows exactly (f32); int8
+                    # phase-1 order alone would understate recall
+                    kk = min(2 * args.k, ids.shape[1])
+                    cand = np.asarray(ids)[: len(test), :kk]
+                    safe = np.maximum(cand, 0)
+                    dex = (
+                        np.einsum("nd,nd->n", train[safe.ravel()],
+                                  train[safe.ravel()]).reshape(safe.shape)
+                        - 2.0 * np.einsum(
+                            "qkd,qd->qk", train[safe], test)
+                    )
+                    dex[cand < 0] = np.inf
+                    order = np.argsort(dex, axis=1)[:, : args.k]
+                    ids_np = np.take_along_axis(cand, order, axis=1)
+                else:
+                    ids_np = np.asarray(ids)[: len(test), : args.k]
                 rec = recall(ids_np, gt, args.k)
 
                 gather_bytes = (

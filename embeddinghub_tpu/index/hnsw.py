@@ -117,6 +117,16 @@ class HNSWIndex(Index):
         # re-scored against the exact f32 arena in the same dispatch.
         # "off" restores the classic three-gather walk.
         self.walk_dtype = _os.environ.get("EHTPU_WALK_DTYPE", "bfloat16")
+        # Packed-neighbor walk (ops/beam.pack_neighbors): each hop
+        # gathers E block rows (the expanded nodes' neighbor vectors,
+        # contiguous int8) instead of E*M scattered rows — 2.6x serving
+        # QPS at 1M (11.8k vs 4.5k on-device, recall bar held via the
+        # exact rerank).  Costs m0*D bytes/node HBM and a ~25 s pack
+        # per graph mutation epoch — read-heavy/frozen serving only,
+        # so opt-in (env EHTPU_WALK_PACKED=1 or index.walk_packed).
+        self.walk_packed = bool(int(
+            _os.environ.get("EHTPU_WALK_PACKED", "0")
+        ))
         self.refine_rounds = int(refine_rounds)
         # bulk-build tuning knobs (semantics-preserving; see _bulk_refine)
         self.refine_expand = 32
@@ -432,6 +442,8 @@ class HNSWIndex(Index):
         nb0[(nb0 >= 0) & dead[np.clip(nb0, 0, cap - 1)]] = -1
         self._nb0[:] = nb0
         state["nb0"] = jnp.asarray(nb0)
+        state.pop("xa", None)  # refine rewrote links/liveness
+        state.pop("xp", None)
         self._host_stale = False
 
     def cluster_boundary_rows(self, frac: float | None = None) -> np.ndarray:
@@ -1325,7 +1337,8 @@ class HNSWIndex(Index):
             jnp.asarray(wvalid),
         )
         state["ustack"] = new_ustack
-        state.pop("xa", None)  # walk arena is stale after a wave
+        state.pop("xa", None)  # walk arenas are stale after a wave
+        state.pop("xp", None)
         # mirror the device-side member appends exactly (same masks)
         for layer in range(1, int(new_ustack.shape[0]) + 1):
             self._mcount_host[layer - 1] += int((levels >= layer).sum())
@@ -1640,7 +1653,8 @@ class HNSWIndex(Index):
                 jnp.asarray(nrows),
                 jnp.asarray(self._nb0[nrows]),
             )
-            state.pop("xa", None)  # walk arena is stale after a scatter
+            state.pop("xa", None)  # walk arenas stale after a scatter
+            state.pop("xp", None)
         for layer, dirty in self._dirty_upper.items():
             if not dirty:
                 continue
@@ -1699,17 +1713,46 @@ class HNSWIndex(Index):
     def _walk_arena(self, state):
         """Cached ``beam_ops.augment_arena`` table for the serving walk
         (one gather per hop instead of x/x_sq/valid — see the
-        walk_dtype comment in __init__).  Rebuilt lazily: every path
-        that mutates x/valid on device pops ``state["xa"]``."""
-        xa = state.get("xa")
-        if xa is None:
+        walk_dtype comment in __init__).  Self-validating: jax arrays
+        are immutable, so holding the exact source array objects and
+        comparing identity catches EVERY mutation path (wave commits,
+        delta scatters, refine) — mutators also pop "xa" eagerly to
+        free the HBM sooner."""
+        src = (state["x"], state["x_sq"], state["valid"])
+        prev = state.get("xa_srcs")
+        if state.get("xa") is None or prev is None or any(
+            a is not b for a, b in zip(prev, src)
+        ):
             x = state["x"]
             if self.walk_dtype == "bfloat16":
                 x = x.astype(jnp.bfloat16)
-            xa = state["xa"] = beam_ops.augment_arena(
+            state["xa"] = beam_ops.augment_arena(
                 x, state["x_sq"], state["valid"], self.metric
             )
-        return xa
+            state["xa_srcs"] = src
+        return state["xa"]
+
+    def _packed_arena(self, state):
+        """Cached ``beam_ops.pack_neighbors`` arena (+ dequant scale)
+        for the packed serving walk; the pack snapshots BOTH vectors
+        and the layer-0 link table, so it revalidates against the
+        identity of each (same scheme as ``_walk_arena``)."""
+        src = (state["x"], state["nb0"])
+        prev = state.get("xp_srcs")
+        if state.get("xp") is None or prev is None or any(
+            a is not b for a, b in zip(prev, src)
+        ):
+            xp, scale = beam_ops.pack_neighbors(*src)
+            state["xp"], state["xp_scale"] = xp, scale
+            state["xp_srcs"] = src
+        return state["xp"], state["xp_scale"]
+
+    def pack_walk(self) -> None:
+        """Prebuild the packed walk arena (freeze-time hook): serving
+        stays read-only-fast from the first query instead of paying the
+        pack on it."""
+        self.walk_packed = True
+        self._packed_arena(self._device_arrays())
 
     def _member_slab_width(self) -> int:
         """Static width S of the per-upper-layer compacted member-id
@@ -1861,11 +1904,12 @@ class HNSWIndex(Index):
         spec = max(1, int(getattr(self, "spec", 1)))
         exit_k = int(getattr(self, "exit_k", 0))
         fused = getattr(self, "walk_dtype", "off") != "off"
+        packed = bool(fused and getattr(self, "walk_packed", False))
         # fused mode re-scores the kk rows the caller reads against the
         # exact f32 arena inside the same dispatch (bf16 ranks, f32
         # distances out); kk buckets so k=1..8 share one compile
         kk = min(ef_l, next_pow2(k, floor=8)) if fused else 0
-        gs = self._gs_fns.get((ef_l, seeds, spec, exit_k, kk))
+        gs = self._gs_fns.get((ef_l, seeds, spec, exit_k, kk, packed))
         if gs is None:
             from embeddinghub_tpu.ops import wave_insert
 
@@ -1878,8 +1922,31 @@ class HNSWIndex(Index):
                 spec=spec,
                 exit_k=exit_k,
                 rerank_k=kk,
+                packed=packed,
             )
-            self._gs_fns[(ef_l, seeds, spec, exit_k, kk)] = gs
+            self._gs_fns[(ef_l, seeds, spec, exit_k, kk, packed)] = gs
+        if packed:
+            xp, xp_scale = self._packed_arena(state)
+            seed_args = ()
+            if seeds:
+                seed_args = tuple(route["_dev"])
+            d, ids = gs(
+                jnp.asarray(q),
+                jnp.int32(self._entry),
+                *seed_args,
+                state["nb0"],
+                state["ustack"],
+                self._walk_arena(state),
+                xp,
+                xp_scale,
+                state["x"],
+                state["x_sq"],
+                state["valid"],
+            )
+            d = np.asarray(d)[:b, :k]
+            ids = np.asarray(ids)[:b, :k].astype(np.int64)
+            ids[~np.isfinite(d)] = -1
+            return d, ids
         if fused:
             walk_x = self._walk_arena(state)
             walk_args = (walk_x, None, None, state["x"], state["x_sq"])

@@ -371,7 +371,7 @@ def make_wave_commit(
 
 def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
                       seed_probes: int = 0, spec: int = 1, exit_k: int = 0,
-                      rerank_k: int = 0):
+                      rerank_k: int = 0, packed: bool = False):
     """Fused full-graph query: greedy descent through the stacked upper
     layers + layer-0 beam, one dispatch (the r2 search paid one dispatch
     per layer).
@@ -395,7 +395,7 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
     one-gather-per-hop speed, the k rows the caller actually reads get
     exact f32 distances, all still one dispatch."""
 
-    def _rerank(q, d, ids, x_exact, x_exact_sq):
+    def _rerank(q, d, ids, x_exact, x_exact_sq, valid=None):
         kk = min(rerank_k, d.shape[1])
         top = ids[:, :kk]
         safe = jnp.maximum(top, 0)
@@ -410,8 +410,56 @@ def make_graph_search(*, metric: str, ef: int, expand: int, max_hops: int,
         else:
             nd = 1.0 - dots
         nd = jnp.where((top >= 0) & jnp.isfinite(d[:, :kk]), nd, jnp.inf)
+        if valid is not None:
+            # packed fetches don't see deletions (stale blocks); the
+            # exact pass drops them here
+            nd = jnp.where(valid[safe], nd, jnp.inf)
         ns, pos = jax.lax.top_k(-nd, kk)
         return -ns, jnp.take_along_axis(top, pos, axis=1)
+
+    if packed:
+        if rerank_k <= 0:
+            raise ValueError("packed walk requires rerank_k > 0 "
+                             "(phase-1 distances are int8-quantized)")
+        s = seed_probes
+
+        @jax.jit
+        def graph_search_packed(q, entry, *args):
+            # args: [cent, cent_sq, medoids,] nb0, upper, xa,
+            #       packed_arr, dscale, x_exact, x_exact_sq, valid_arr
+            if s > 0:
+                cent, cent_sq, medoids = args[:3]
+                args = args[3:]
+            (nb0, upper, xa, packed_arr, dscale,
+             x_exact, x_exact_sq, valid_arr) = args
+            b = q.shape[0]
+            L = upper.shape[0]
+            cur = jnp.full((b,), entry, jnp.int32)
+            for layer in range(L, 0, -1):
+                cur = beam_ops.greedy_descend(
+                    q, cur, upper[layer - 1], xa, None, metric=metric,
+                )
+            entries = cur
+            if s > 0:
+                dots = jax.lax.dot_general(
+                    q, cent, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                score = (2.0 * dots - cent_sq[None, :]
+                         if metric == "l2" else dots)
+                _, cid = jax.lax.top_k(score, min(s, cent.shape[0]))
+                entries = jnp.concatenate(
+                    [cur[:, None], medoids[cid]], axis=1
+                )
+            d, ids = beam_ops.beam_search(
+                q, entries, nb0, xa, None, None,
+                metric=metric, ef=ef, expand=min(expand, ef),
+                max_hops=max_hops, spec=spec, exit_k=exit_k,
+                packed=packed_arr, dscale=dscale,
+            )
+            return _rerank(q, d, ids, x_exact, x_exact_sq, valid_arr)
+
+        return graph_search_packed
 
     if seed_probes <= 0:
 
