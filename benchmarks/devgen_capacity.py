@@ -54,6 +54,7 @@ _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import argparse
 import functools
 import json
+import math
 import os
 import sys
 import time
@@ -101,6 +102,54 @@ def make_gen(dims: int, centers_n: int, noise: float, seed: int):
         return block_rows(centers, 0x51EE7, NQ)
 
     return centers, block_rows, queries
+
+
+def make_planted_gen(dims: int, seed: int, k: int, eps: float):
+    """Planted-neighbor arena: NQ random unit queries, each with ``k``
+    planted rows (query + eps*noise, re-normalized) at ids
+    [i*k, (i+1)*k); every other row is an independent random unit
+    vector.  The oracle is known BY CONSTRUCTION (no scan): at eps=0.2
+    a planted row's cosine ~0.98 vs ~0.56 for the best of 100M random
+    rows, so the true top-k IS the planted set.
+
+    This separates the two capacity questions the clustered generator
+    conflates: "can the quantized arena FIND genuinely-near neighbors
+    at depth" (this — retrieval-realistic: a query has a handful of
+    relevant rows) vs "can it RESOLVE ties among thousands of
+    near-duplicates" (the noise-0.35 cluster sets — int8-resolution
+    bound, measured r5)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    kb, kn, kq = jax.random.split(key, 3)
+
+    def _unit(rows):
+        nrm = jnp.sqrt(jnp.einsum("nd,nd->n", rows, rows))
+        return rows / jnp.maximum(nrm, 1e-30)[:, None]
+
+    def queries():
+        return _unit(jax.random.randint(
+            kq, (NQ, dims), -127, 128).astype(jnp.float32))
+
+    def block_rows(q, i, n_rows):
+        base = jax.random.randint(
+            jax.random.fold_in(kb, i), (n_rows, dims), -127, 128
+        ).astype(jnp.float32)
+        ids = i * n_rows + jnp.arange(n_rows)
+        qidx = jnp.clip(ids // k, 0, NQ - 1)
+        pn = jax.random.randint(
+            jax.random.fold_in(kn, i), (n_rows, dims), -127, 128
+        ).astype(jnp.float32)
+        # eps is the perturbation VECTOR norm: per-dim std eps/sqrt(D)
+        # (bits/127 has std 0.5774) -> cos(q, planted) ~ 1/sqrt(1+eps^2)
+        planted = q[qidx] + jnp.float32(
+            eps / (0.5774 * math.sqrt(dims))
+        ) * pn / 127.0
+        rows = jnp.where((ids < NQ * k)[:, None], planted, base)
+        return _unit(rows)
+
+    return block_rows, queries
 
 
 # ----------------------------------------------------------------- prep
@@ -171,22 +220,34 @@ def run(args) -> None:
     from embeddinghub_tpu.index import flat as flat_mod
     from embeddinghub_tpu.index.flat import FlatIndex
 
-    if args.no_recall:
+    if args.planted > 0:
+        # oracle known by construction — no CPU prep pass needed
+        pgen, pqueries = make_planted_gen(
+            args.dims, args.seed, args.k, args.planted
+        )
+        q = np.asarray(pqueries())
+        oracle = np.arange(NQ * args.k).reshape(NQ, args.k)
+        centers = jnp.asarray(q)      # the gen state the fill closes over
+        block_rows = pgen
+    elif args.no_recall:
         # warm pass: compile+cache the fill/query programs for this
         # arena shape while the CPU oracle prep is still running (the
         # persistent compile cache is shared across processes)
         q, oracle = None, None
+        centers, block_rows, _ = make_gen(
+            args.dims, args.centers, args.noise, args.seed
+        )
     else:
         z = np.load(args.oracle)
         assert int(z["n"]) == args.n and int(z["dims"]) == args.dims, (
             "oracle file was prepped for a different arena config"
         )
         q, oracle = z["queries"], z["oracle"]
+        centers, block_rows, _ = make_gen(
+            args.dims, args.centers, args.noise, args.seed
+        )
 
     t_all = time.perf_counter()
-    centers, block_rows, _ = make_gen(
-        args.dims, args.centers, args.noise, args.seed
-    )
     residual = args.storage == "int8x2"
 
     idx = FlatIndex(
@@ -331,6 +392,10 @@ def main():
     ap.add_argument("--storage", default="int8x2",
                     choices=["int8", "int8x2"])
     ap.add_argument("--boost", type=int, default=1)
+    ap.add_argument("--planted", type=float, default=0.0,
+                    help="planted-neighbor mode: eps of the k planted "
+                         "rows per query (oracle by construction, no "
+                         "--prep needed); 0 = clustered generator")
     ap.add_argument("--no-recall", action="store_true",
                     help="skip oracle load + recall (compile-warming "
                          "pass while the CPU oracle prep runs)")

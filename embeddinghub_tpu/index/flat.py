@@ -170,6 +170,36 @@ def _scatter_invalidate(valid, rows):
     return valid.at[rows].set(False)
 
 
+_SCATTER_REGION_ROWS = 1 << 23  # deep-arena scatter region (rows)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("width",))
+def _region_scatter_plane(x, rows_local, qrows, start, width):
+    """Scatter rows into a DEEP quantized plane via a bounded region:
+    slice [start, start+width), scatter locally, write back (donated).
+
+    A whole-arena ``x.at[rows].set`` compiles a full-size operand copy
+    even under donation — at 100M x 96 int8 that copy is 12 GB (lane
+    padding 96->128) on top of the 12 GB resident plane and the AOT
+    compile itself OOMs (r5_cap100m_stream.log).  Region temps are
+    ~2 x width rows instead; ``start`` is traced so every region shares
+    one executable."""
+    reg = jax.lax.dynamic_slice_in_dim(x, start, width, 0)
+    reg = reg.at[rows_local].set(qrows)
+    return jax.lax.dynamic_update_slice_in_dim(x, reg, start, 0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_aux_int8(x_sq, valid, scales, rows, vecs_sq, srows):
+    """The [cap]-wide scalar arenas still scatter whole (donated): their
+    full-size copies are cap * 9 bytes — fine at any single-chip cap."""
+    return (
+        x_sq.at[rows].set(vecs_sq),
+        valid.at[rows].set(True),
+        scales.at[rows].set(srows),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "dims", "dtype"))
 def _deep_alloc(cap: int, dims: int, dtype: str):
     """Device-side arena allocation: the output layout is whatever XLA
@@ -600,7 +630,45 @@ class FlatIndex(Index):
                     self._hq["lo"][rows] = lorows
             jrows = jnp.asarray(rows)
             jsq = jnp.asarray(sq)
-            if self.storage_dtype == "int8x2":
+            deep = self._cap > _DEEP_CAP_THRESHOLD
+            if deep:
+                # regioned plane scatter (see _region_scatter_plane):
+                # whole-plane scatters compile an arena-sized operand
+                # copy that OOMs past ~50M rows
+                width = min(self._cap, _SCATTER_REGION_ROWS)
+                order = np.argsort(rows, kind="stable")
+                r_s, q_s = rows[order], qrows[order]
+                l_s = lorows[order] if lorows is not None else None
+                for reg in np.unique(r_s // width):
+                    m = (r_s // width) == reg
+                    # dynamic_slice clamps start to cap-width: compute
+                    # local offsets against the clamped start or the
+                    # last region's rows land width-misaligned
+                    start_np = min(int(reg) * width, self._cap - width)
+                    rl = (r_s[m] - start_np).astype(np.int32)
+                    pad = next_pow2(rl.size, floor=8)
+                    sel = np.concatenate(
+                        [np.arange(rl.size),
+                         np.zeros(pad - rl.size, np.int64)]
+                    )
+                    rl = rl[sel]
+                    start = jnp.int32(start_np)
+                    self._dx = _region_scatter_plane(
+                        self._dx, jnp.asarray(rl),
+                        jnp.asarray(q_s[m][sel]), start, width=width,
+                    )
+                    if l_s is not None:
+                        self._dx_lo = _region_scatter_plane(
+                            self._dx_lo, jnp.asarray(rl),
+                            jnp.asarray(l_s[m][sel]), start, width=width,
+                        )
+                self._dx_sq, self._dvalid, self._dscales = (
+                    _scatter_aux_int8(
+                        self._dx_sq, self._dvalid, self._dscales,
+                        jrows, jsq, jnp.asarray(scales),
+                    )
+                )
+            elif self.storage_dtype == "int8x2":
                 (self._dx, self._dx_lo, self._dx_sq, self._dvalid,
                  self._dscales) = _scatter_rows_int8x2(
                     self._dx, self._dx_lo, self._dx_sq, self._dvalid,

@@ -308,3 +308,34 @@ def test_packed_id_readback(rng, monkeypatch):
     small.add(np.arange(4), x[:4])
     _, got2 = small.search(q[:256], 16, with_distances=False)
     assert (got2 == -1).sum() == 256 * 12
+
+
+def test_deep_region_scatter_crosses_regions(rng):
+    """Deep-arena streaming writes go through the regioned plane
+    scatter (flat._region_scatter_plane): whole-plane ``.at[].set``
+    compiles an arena-sized operand copy that OOMs past ~50M rows
+    (r5_cap100m_stream.log).  Rows scattered into BOTH regions of a
+    2-region arena must land exactly — including int8x2's lo plane —
+    and remain findable by their own vector."""
+    from embeddinghub_tpu.index import flat as flat_mod
+
+    d = 16
+    cap = flat_mod._SCATTER_REGION_ROWS + (1 << 20)  # 2 regions
+    for storage in ("int8", "int8x2"):
+        idx = FlatIndex(
+            dims=d, metric="cosine", capacity=cap, storage_dtype=storage,
+            quant_guard=False,
+        )
+        base_rows = np.arange(64)
+        base = rng.standard_normal((64, d)).astype(np.float32)
+        idx.add(base_rows, base)                 # full sync path
+        _ = idx.search(base[:4], 1)              # materialize arenas
+        stream_rows = np.asarray(
+            [7, 1 << 19, flat_mod._SCATTER_REGION_ROWS + 5, cap - 3]
+        )
+        vecs = rng.standard_normal((4, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        idx.add(stream_rows, vecs)               # dirty-row scatter path
+        dists, got = idx.search(vecs, 1)
+        assert (got[:, 0] == stream_rows).all(), (got[:, 0], stream_rows)
+        assert (dists[:, 0] < 1e-2).all()
