@@ -39,6 +39,14 @@ def main():
     ap.add_argument("--m", type=int, default=16)
     ap.add_argument("--efc", type=int, default=200)
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument("--load-index", default=None,
+                    help="saved HNSWIndex.state_arrays() npz for the "
+                         "base graph (skips the in-process bulk build "
+                         "— the dev harness caps TPU processes at "
+                         "~10 min, under a 1M+ build)")
+    ap.add_argument("--data-npz", default=None,
+                    help="npz with train/test arrays matching the "
+                         "loaded graph's source data")
     args = ap.parse_args()
 
     class A:
@@ -53,21 +61,47 @@ def main():
     a.dims = args.dims
     a.k = 10
     a.metric = "l2"
-    train, test, _ = load_data(a)
-    base, stream = train[: args.base], train[args.base :]
 
     def rep(**kv):
         print(json.dumps(kv), flush=True)
 
     from embeddinghub_tpu.index.hnsw import HNSWIndex
 
-    idx = HNSWIndex(args.dims, m=args.m, ef_construction=args.efc,
-                    capacity=args.base + args.stream)
-    t0 = time.perf_counter()
-    idx.add(np.arange(args.base), base)
-    idx.search(test[:8], 10, ef=100)  # force device state + compile
-    rep(phase="bulk-base", n=args.base,
-        build_s=round(time.perf_counter() - t0, 1))
+    if args.data_npz:
+        z = np.load(args.data_npz)
+        train, test = z["train"], z["test"]
+        if len(train) < args.base + args.stream:
+            rng = np.random.default_rng(17)
+            pick = rng.integers(0, len(train),
+                                args.base + args.stream - len(train))
+            extra = (train[pick]
+                     + 2.0 * rng.standard_normal(
+                         (pick.size, train.shape[1])
+                     ).astype(np.float32))
+            train = np.concatenate([train, extra])
+    else:
+        train, test, _ = load_data(a)
+    base, stream = train[: args.base], train[args.base :]
+
+    if args.load_index:
+        zp = np.load(args.load_index, allow_pickle=True)
+        idx = HNSWIndex.from_state(
+            args.dims, "l2", {k: zp[k] for k in zp.files}
+        )
+        assert idx.size == args.base, (idx.size, args.base)
+        # grow once BEFORE the timed stream (growth rebuilds device
+        # state; mid-stream it would bill a full re-upload to a wave)
+        idx._ensure_capacity(args.base + args.stream)
+        idx.search(test[:8], 10, ef=100)
+        rep(phase="loaded-base", n=idx.size, src=args.load_index)
+    else:
+        idx = HNSWIndex(args.dims, m=args.m, ef_construction=args.efc,
+                        capacity=args.base + args.stream)
+        t0 = time.perf_counter()
+        idx.add(np.arange(args.base), base)
+        idx.search(test[:8], 10, ef=100)  # force device state + compile
+        rep(phase="bulk-base", n=args.base,
+            build_s=round(time.perf_counter() - t0, 1))
 
     idx.search(test[:8], 10, ef=50)  # compile the check's search shape
     wave_s = []
