@@ -52,10 +52,12 @@ def main():
     ap.add_argument("--dims", type=int, default=128)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--budget", type=float, default=420.0,
-                    help="seconds of streaming before saving (leave "
-                         "margin under the ~10 min process cap; rerun "
-                         "the same leg to continue)")
+                    help="hard PROCESS deadline for starting the save "
+                         "(measured from process start, so compile and "
+                         "load time count; the save itself needs "
+                         "~90-150 s at 2-4M under the ~10 min cap)")
     args = ap.parse_args()
+    t_proc = time.time()
 
     from benchmarks.cluster_build import sift_desc_chunked
     from embeddinghub_tpu.index.hnsw import HNSWIndex
@@ -100,7 +102,7 @@ def main():
             np.asarray(idx._device_state["nb0"][:1])
         wave_s.append(time.perf_counter() - tw)
         done = s + len(rows)
-        if time.time() - t_stream > args.budget:
+        if time.time() - t_proc > args.budget:
             break
     steady = wave_s[1:] or wave_s
     n_steady = done - min(args.batch, done) if len(wave_s) > 1 else done
@@ -116,7 +118,17 @@ def main():
         at_1=round(float((got[:, 0] == probe).mean()), 3))
 
     t0 = time.time()
-    np.savez(args.out, **idx.state_arrays())
+    arrs = idx.state_arrays()
+    hi = idx._scan_hi_water()
+    if hi < len(arrs["x"]):
+        # capacity rounds to pow2: persisting the dead tail doubles the
+        # save bytes right after a growth; from_state re-derives
+        # capacity from x.shape[0] and the next leg regrows it
+        for name in ("x", "valid", "levels", "nb0"):
+            arrs[name] = arrs[name][:hi]
+    tmp_out = args.out + ".tmp.npz"
+    np.savez(tmp_out, **arrs)
+    os.replace(tmp_out, args.out)  # a killed save must not corrupt
     rep(stage="saved", out=args.out, size=idx.size,
         save_s=round(time.time() - t0, 1))
 

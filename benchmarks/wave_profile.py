@@ -172,13 +172,14 @@ def main():
         force(c)
         return c
 
-    outs = wave_fn(*clone(), new_rows, vecs, vecs_sq, lev, lt, wvalid)
+    hi = jnp.int32(idx._scan_hi_water())
+    outs = wave_fn(*clone(), new_rows, vecs, vecs_sq, lev, lt, wvalid, hi)
     force(outs)  # compile + warm
     ts = []
     for _ in range(trials):
         st = clone()
         t0 = time.perf_counter()
-        outs = wave_fn(*st, new_rows, vecs, vecs_sq, lev, lt, wvalid)
+        outs = wave_fn(*st, new_rows, vecs, vecs_sq, lev, lt, wvalid, hi)
         force(outs)
         ts.append(time.perf_counter() - t0)
     best = min(ts)

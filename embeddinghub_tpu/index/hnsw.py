@@ -323,6 +323,9 @@ class HNSWIndex(Index):
                 _vlog(f"boundary repair: {b_rows.size} rows")
                 if b_rows.size:
                     self.refine(b_rows)
+            self._hi_water = max(
+                self._scan_hi_water(), int(rows.max()) + 1
+            )
             pending, praw, pvecs = (
                 pending[base:], praw[base:], pvecs[base:]
             )
@@ -361,6 +364,8 @@ class HNSWIndex(Index):
         # is exactly what the refine pass below repairs.
         if bulk_streamed and self.stream_refine:
             self.refine()
+        # all add paths (bulk, host waves, fused waves) end here
+        self._hi_water = max(self._scan_hi_water(), int(rows.max()) + 1)
 
     def refine(self, rows: np.ndarray | None = None) -> None:
         """Layer-0 repair sweep: re-select the given rows' forward links
@@ -1335,6 +1340,10 @@ class HNSWIndex(Index):
             jnp.asarray(lev_p),
             jnp.asarray(lt_p),
             jnp.asarray(wvalid),
+            jnp.int32(self._scan_hi_water()),
+        )
+        self._hi_water = max(
+            self._scan_hi_water(), int(rows.max()) + 1
         )
         state["ustack"] = new_ustack
         state.pop("xa", None)  # walk arenas are stale after a wave
@@ -1709,6 +1718,22 @@ class HNSWIndex(Index):
         self._device_state = state
         self._clear_dirty()
         return state
+
+    def _scan_hi_water(self) -> int:
+        """Arena high-water mark (1 + max row id that has ever been
+        valid): the fused wave's layer-0 pool scan covers only
+        ceil(hi/chunk) chunks instead of cap/chunk (see
+        wave_insert._masked_scan_topk — after a pow2 capacity growth
+        half the arena is guaranteed dead, and the O(cap) scan was the
+        dominant wave cost).  Never decremented: a stale-high value is
+        only a missed optimization, never a correctness issue."""
+        hi = getattr(self, "_hi_water", None)
+        if hi is None:
+            live = np.flatnonzero(self._hvalid)
+            hi = self._hi_water = (
+                int(live[-1]) + 1 if live.size else 0
+            )
+        return hi
 
     def _walk_arena(self, state):
         """Cached ``beam_ops.augment_arena`` table for the serving walk

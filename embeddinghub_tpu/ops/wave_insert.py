@@ -122,11 +122,20 @@ def _reciprocal_commit(
     return table.at[t_all].set(payload)
 
 
-def _masked_scan_topk(q, x, mask, x_sq, *, kk, metric, chunk):
+def _masked_scan_topk(q, x, mask, x_sq, *, kk, metric, chunk, hi=None):
     """Candidate ids: top-kk of a bf16 score scan over masked rows.
     Chunked so the [W, chunk] intermediate stays bounded at deep caps.
     Order within the pool is irrelevant (heuristic_prune re-sorts by
-    distance), so approx_max_k's output is used directly."""
+    distance), so approx_max_k's output is used directly.
+
+    ``hi`` (traced scalar, optional): the arena's high-water mark —
+    rows at ids >= hi are all invalid.  The scan then covers only
+    ceil(hi/chunk) chunks via a dynamic-trip-count loop instead of
+    cap/chunk: after a capacity doubling (growth rounds to pow2) the
+    O(cap) layer-0 scan was the dominant wave cost while HALF the
+    arena was guaranteed dead (r5 stream_up: 2.3k inserts/s at
+    cap=2M -> 1.45k/s the moment cap grew to 4M, same ~2M live rows).
+    """
     cap, d = x.shape
     w = q.shape[0]
     chunk = min(chunk, cap)
@@ -159,7 +168,7 @@ def _masked_scan_topk(q, x, mask, x_sq, *, kk, metric, chunk):
     # identical pattern in ops/topk.quantized_chunked_search: an 8 GB
     # copy(xq) HLO temp at 50M x 96) — in wave_commit that is a
     # ~2 GB/wave copy at 4M x 128 f32, pure waste.
-    def step(carry, base):
+    def merge(carry, base):
         bv, bi = carry
         xc = jax.lax.dynamic_slice_in_dim(x, base, chunk)
         sqc = jax.lax.dynamic_slice_in_dim(x_sq, base, chunk)
@@ -168,19 +177,31 @@ def _masked_scan_topk(q, x, mask, x_sq, *, kk, metric, chunk):
         vcat = jnp.concatenate([bv, cv], axis=1)
         icat = jnp.concatenate([bi, ci + base], axis=1)
         nv, pos = jax.lax.top_k(vcat, kk)
-        return (nv, jnp.take_along_axis(icat, pos, axis=1)), None
+        return nv, jnp.take_along_axis(icat, pos, axis=1)
 
     init = (
         jnp.full((w, kk), -INF, jnp.float32),
         jnp.full((w, kk), -1, jnp.int32),
     )
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (cv, ci), _ = jax.lax.scan(step, init, bases)
+    if hi is None:
+        bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        (cv, ci), _ = jax.lax.scan(
+            lambda c, b: (merge(c, b), None), init, bases
+        )
+    else:
+        n_live = jnp.clip(
+            (hi.astype(jnp.int32) + chunk - 1) // chunk, 1, n_chunks
+        )
+        cv, ci = jax.lax.fori_loop(
+            0, n_live,
+            lambda i, c: merge(c, i * chunk),
+            init,
+        )
     return jnp.where(jnp.isfinite(cv), ci, -1)
 
 
 def _member_scan_topk(q, x, x_sq, valid, levels, layer, members, count,
-                      *, kk, metric):
+                      *, kk, metric, chunk=1 << 15):
     """Upper-layer candidate pool from a COMPACTED member-id arena
     (``members``: [S] row ids with ``count`` filled, -1 padded): gather
     the ~cap/M^layer member rows and score a [W, S] matmul.  Replaces a
@@ -193,23 +214,65 @@ def _member_scan_topk(q, x, x_sq, valid, levels, layer, members, count,
     or whose level dropped below ``layer`` are masked out against the
     LIVE arena state at scan time, so removals/updates need no member
     compaction.  Duplicate entries (a re-added member) merely waste
-    pool slots."""
+    pool slots.
+
+    Chunked with a ``count``-bounded dynamic trip count: the slab
+    width S is sized for the LARGEST layer (~2x layer-1's population,
+    itself ~cap/8), but every deeper layer shares it — at 2M rows the
+    five upper scans each paid the full S=262k gather+matmul for
+    populations of 125k/8k/500/30/2, making "member(x5)" 2.4x the
+    whole layer-0 arena scan (249 ms vs 106 ms, r5 wave_profile).
+    Scanning ceil(count/chunk) chunks makes each layer cost its own
+    population."""
     S = members.shape[0]
-    kk = min(kk, S)
-    safe = jnp.maximum(members, 0)
-    alive = (members >= 0) & (jnp.arange(S, dtype=jnp.int32) < count)
-    alive &= valid[safe] & (levels[safe] >= layer)
-    mx = x[safe].astype(jnp.bfloat16)
-    dots = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), mx,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    w = q.shape[0]
+    qb = q.astype(jnp.bfloat16)
+
+    def score(mem_c, base):
+        safe = jnp.maximum(mem_c, 0)
+        alive = (mem_c >= 0) & (
+            base + jnp.arange(mem_c.shape[0], dtype=jnp.int32) < count
+        )
+        alive &= valid[safe] & (levels[safe] >= layer)
+        mx = x[safe].astype(jnp.bfloat16)
+        dots = jax.lax.dot_general(
+            qb, mx, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = 2.0 * dots - x_sq[safe][None, :] if metric == "l2" else dots
+        return jnp.where(alive[None, :], s, -INF)
+
+    if S <= chunk:
+        kk = min(kk, S)
+        cv, ci = jax.lax.approx_max_k(score(members, 0), kk)
+        ids = members[ci]
+        return jnp.where(jnp.isfinite(cv), ids, -1)
+
+    while S % chunk:
+        chunk //= 2
+    kk = min(kk, chunk)
+    n_chunks = S // chunk
+
+    def merge(carry, base):
+        bv, bi = carry
+        mem_c = jax.lax.dynamic_slice_in_dim(members, base, chunk)
+        cv, ci = jax.lax.approx_max_k(score(mem_c, base), kk)
+        vcat = jnp.concatenate([bv, cv], axis=1)
+        icat = jnp.concatenate([bi, mem_c[ci]], axis=1)
+        nv, pos = jax.lax.top_k(vcat, kk)
+        return nv, jnp.take_along_axis(icat, pos, axis=1)
+
+    init = (
+        jnp.full((w, kk), -INF, jnp.float32),
+        jnp.full((w, kk), -1, jnp.int32),
     )
-    s = 2.0 * dots - x_sq[safe][None, :] if metric == "l2" else dots
-    s = jnp.where(alive[None, :], s, -INF)
-    cv, ci = jax.lax.approx_max_k(s, kk)
-    ids = members[ci]
-    return jnp.where(jnp.isfinite(cv), ids, -1)
+    n_live = jnp.clip(
+        (count.astype(jnp.int32) + chunk - 1) // chunk, 1, n_chunks
+    )
+    cv, ci_ids = jax.lax.fori_loop(
+        0, n_live, lambda i, c: merge(c, i * chunk), init
+    )
+    return jnp.where(jnp.isfinite(cv), ci_ids, -1)
 
 
 def make_wave_commit(
@@ -224,8 +287,11 @@ def make_wave_commit(
 
     Returned fn signature:
         (x, x_sq, valid, levels, nb0, upper, members, mcount,
-         rows, vecs, vecs_sq, wave_levels, link_top, wave_valid) ->
+         rows, vecs, vecs_sq, wave_levels, link_top, wave_valid,
+         scan_hi) ->
         (x, x_sq, valid, levels, nb0, upper, members, mcount)
+    ``scan_hi`` (traced int32) is the arena high-water mark bounding
+    the layer-0 pool scan (see _masked_scan_topk).
     with ``upper`` a stacked [L, cap, m] table (L may be 0),
     ``levels`` the [cap] per-row level arena (-1 = dead),
     ``members``/``mcount`` the per-upper-layer compacted member-id
@@ -245,6 +311,7 @@ def make_wave_commit(
     def wave_commit(
         x, x_sq, valid, levels, nb0, upper, members, mcount,
         rows, vecs, vecs_sq, wave_levels, link_top, wave_valid,
+        scan_hi,
     ):
         w = rows.shape[0]
         L = upper.shape[0]
@@ -255,7 +322,8 @@ def make_wave_commit(
         # like hnswlib's sequential addPoint).  Layer 0 is a full flat
         # scan; layers >=1 scan their compacted member arenas ----
         pools = {0: _masked_scan_topk(
-            vecs, x, valid, x_sq, kk=ef0, metric=metric, chunk=scan_chunk,
+            vecs, x, valid, x_sq, kk=ef0, metric=metric,
+            chunk=scan_chunk, hi=scan_hi,
         )}
         for layer in range(1, L + 1):
             pools[layer] = _member_scan_topk(
